@@ -1,0 +1,119 @@
+"""FeaturePipeline — the flagship turn-feature program.
+
+Composes the temporal lifts + kernels into one declarative DataFrame
+program over a transcripts table (the north-star workload):
+
+  1. repartition by hash(conv_id), sort (conv_id, turn_idx, ts);
+  2. turn-level scalar kernels (id_feature on role/tool, raw_feature on
+     text length) — pure projections;
+  3. temporal features: gap-to-previous-turn + TimeDiffNormal bucket,
+     rolling counts over trailing windows (1h / 24h), time-since-last
+     tool call (gap_min lift), sessionization;
+  4. optional as-of join to the latest prior feature snapshot (backfill).
+
+Everything is one Catalyst plan: a single shuffle on conv_id feeds every
+window stage (same partitioning reused), the snapshot as-of join adds one
+more shuffle of the (small) snapshot side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.operators.id_feature import id_feature_scalar
+from featuregenerator_spark.plans import temporal
+from featuregenerator_spark.plans.partitioning import repartition_for_windows
+
+from pyspark.sql import types as T
+
+
+def build_turn_features(
+    transcripts: DataFrame,
+    rolling_windows: tuple[float, ...] = (3600.0, 86400.0),
+    session_gap: float = 1800.0,
+    tool_gap_timediff: float = 86400.0,
+    snapshots: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts -> per-turn feature DataFrame (the flagship query)."""
+    df = temporal.with_ts_seconds(transcripts)
+    df = repartition_for_windows(df, num_partitions)
+
+    # --- scalar kernels (id_feature / raw_feature semantics) -------------
+    df = df.withColumn(
+        "role_id", id_feature_scalar(F.col("role"), "role", T.StringType())
+    )
+    df = df.withColumn(
+        "tool_id",
+        F.coalesce(
+            id_feature_scalar(F.col("tool"), "tool", T.StringType()),
+            F.lit("tool_none"),
+        ),
+    )
+    df = df.withColumn("text_len", F.length("text").cast("double"))
+    df = df.withColumn(
+        "text_len_log", F.when(F.col("text_len") > 0, F.log10("text_len")).otherwise(0.0)
+    )
+
+    # --- temporal lifts ---------------------------------------------------
+    df = temporal.with_gap(df)
+    df = df.withColumn("gap_bucket", F.coalesce(F.col("gap_bucket"), F.lit(8)))
+    for w_s in rolling_windows:
+        tag = f"{int(w_s)}s"
+        df = temporal.with_rolling_count(
+            df, w_s, f"turns_prior_{tag}", include_current=False
+        )
+        df = temporal.with_rolling_count(
+            df,
+            w_s,
+            f"tool_calls_prior_{tag}",
+            predicate=F.col("role") == "tool",
+            include_current=False,
+        )
+    df = temporal.with_rolling_agg(
+        df, rolling_windows[0], F.col("text_len"), "avg", "avg_text_len_w0"
+    )
+    df = temporal.with_gap_since_match(
+        df,
+        F.col("role") == "tool",
+        tool_gap_timediff,
+        "since_tool_bucket",
+        gap="gap_min",
+        default_value=0.0,
+    )
+    df = temporal.sessionize(df, session_gap)
+
+    # --- as-of snapshot backfill -----------------------------------------
+    if snapshots is not None:
+        df = temporal.asof_join(
+            df,
+            snapshots,
+            on="conv_id",
+            left_ts="ts_sec",
+            right_ts="snap_ts",
+            value_cols=["feature_state"],
+            strict=True,
+        )
+    return df
+
+
+FEATURE_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "ts",
+    "role_id",
+    "tool_id",
+    "text_len",
+    "text_len_log",
+    "gap_seconds",
+    "gap_bucket",
+    "turns_prior_3600s",
+    "tool_calls_prior_3600s",
+    "turns_prior_86400s",
+    "tool_calls_prior_86400s",
+    "avg_text_len_w0",
+    "since_tool_bucket",
+    "session_idx",
+    "session_id",
+]

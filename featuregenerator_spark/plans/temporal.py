@@ -1,0 +1,335 @@
+"""Temporal operators over transcript tables — the point-in-time core.
+
+These are the *pipeline lifts* of the reference's timediff lookup kernel
+(``fg_lite/feature/LookupFeatureFunctionArrayImpl.h:48-503``; SURVEY.md
+§3.2): instead of probing per-row history arrays, we sort within
+``hash(conv_id)`` partitions by ``(conv_id, turn_idx, ts)`` and use range
+windows / windowed last() — never referencing rows with ``ts > pv_ts``
+(zero temporal leakage by construction of the frame bounds).
+
+All functions take and return DataFrames; all expressions are built-ins
+(window functions run in the JVM with linear state for range frames).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.functions.bucketize import time_diff_normal_expr
+
+CONV = "conv_id"
+TS = "ts"
+TURN = "turn_idx"
+TS_SEC = "ts_sec"
+
+
+def with_ts_seconds(df: DataFrame, ts_col: str = TS, out: str = TS_SEC) -> DataFrame:
+    """Add epoch-seconds double column (range windows need numeric order)."""
+    return df.withColumn(
+        out, F.col(ts_col).cast("double")
+    )
+
+
+def _order_window(conv: str, order_cols: Sequence[str]):
+    return Window.partitionBy(conv).orderBy(*order_cols)
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: Sequence[str],
+    conv: str = CONV,
+    order_by: Sequence[str] = (TURN, TS_SEC),
+    offsets: Sequence[int] = (1,),
+) -> DataFrame:
+    """lag/lead features for the given columns (adjacent-turn features)."""
+    w = _order_window(conv, order_by)
+    for c in cols:
+        for k in offsets:
+            df = df.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            df = df.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return df
+
+
+def with_gap(
+    df: DataFrame,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    order_by: Sequence[str] = (TURN, TS_SEC),
+    bucketize: bool = True,
+) -> DataFrame:
+    """Seconds since previous turn + TimeDiffNormal recency bucket.
+
+    ``gap_seconds`` is null on the first turn of a conversation (the
+    reference emits the default value there; callers coalesce).
+    """
+    w = _order_window(conv, order_by)
+    df = df.withColumn("gap_seconds", F.col(ts_sec) - F.lag(ts_sec).over(w))
+    if bucketize:
+        df = df.withColumn(
+            "gap_bucket",
+            F.when(
+                F.col("gap_seconds").isNotNull(),
+                time_diff_normal_expr(F.col("gap_seconds"), F.col(ts_sec)),
+            ),
+        )
+    return df
+
+
+def with_rolling_count(
+    df: DataFrame,
+    window_seconds: float,
+    out: str,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    predicate: Column | None = None,
+    include_current: bool = False,
+    count_cut_threshold: int = -1,
+) -> DataFrame:
+    """Rolling count of (matching) turns within the trailing time window.
+
+    Kernel parity: ``combiner2=count`` with ``timediff=window_seconds`` —
+    #events with ``pv_ts - ts <= timediff`` matching the predicate,
+    clipped at count_cut_threshold (Impl.h:321-361). ``include_current``
+    False = strictly prior turns (no self-count, zero leakage), done by
+    subtracting the current row's own indicator — keeps the O(1)-state
+    range frame instead of an off-by-one frame bound.
+    """
+    ind = (
+        F.when(predicate, F.lit(1)).otherwise(F.lit(0))
+        if predicate is not None
+        else F.lit(1)
+    )
+    w = (
+        Window.partitionBy(conv)
+        .orderBy(F.col(ts_sec))
+        .rangeBetween(-float(window_seconds), 0)
+    )
+    cnt = F.sum(ind).over(w)
+    if not include_current:
+        cnt = cnt - ind
+    if count_cut_threshold > 0:
+        cnt = F.least(cnt, F.lit(count_cut_threshold))
+    return df.withColumn(out, cnt.cast("double"))
+
+
+def with_rolling_agg(
+    df: DataFrame,
+    window_seconds: float,
+    value: Column,
+    agg: str,
+    out: str,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    include_current: bool = True,
+) -> DataFrame:
+    """Rolling sum/min/max/avg of a value expression over the time window.
+
+    Maps the reference combiners (Combiner.h:43-90) onto range frames.
+    include_current=False uses the [−Δ, −ε] trick via self-subtraction for
+    sum; min/max/avg fall back to excluding via a lagged frame.
+    """
+    w = (
+        Window.partitionBy(conv)
+        .orderBy(F.col(ts_sec))
+        .rangeBetween(-float(window_seconds), 0 if include_current else -1)
+    )
+    fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "mean": F.avg}[agg]
+    return df.withColumn(out, fn(value).over(w))
+
+
+def with_gap_since_match(
+    df: DataFrame,
+    predicate: Column,
+    timediff: float,
+    out: str,
+    gap: str = "gap_min",
+    default_value: float = 0.0,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+) -> DataFrame:
+    """gap_min/gap_max lift: TimeDiffNormal bucket of time since the most
+    (gap_min) / least (gap_max) recent *prior* matching turn inside the
+    window, default when none (Impl.h:303-433 incl. init values).
+    """
+    now = F.col(ts_sec)
+    init = float(timediff) if gap == "gap_min" else 0.0
+    ind = F.when(predicate, F.lit(1)).otherwise(F.lit(0))
+    w_prior = (
+        Window.partitionBy(conv)
+        .orderBy(F.col(ts_sec))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy(conv)
+        .orderBy(F.col(ts_sec))
+        .rangeBetween(-float(timediff), 0)
+    )
+    # any strictly-prior matching turn inside [now - timediff, now]?
+    n_prior_in_window = F.sum(ind).over(w_range) - ind
+    if gap == "gap_min":
+        # most recent prior match overall == most recent in-window match
+        # whenever it lies inside the window (later matches would be even
+        # more recent), so the unbounded-preceding max suffices.
+        anchor = F.max(F.when(predicate, F.col(ts_sec))).over(w_prior)
+        g = now - anchor
+        folded = F.least(g, F.lit(init))
+    else:
+        # oldest in-window match; the range frame may include the current
+        # row's own match, but n_prior_in_window gates existence and a
+        # self-only match is masked by it (min over {now} never wins when
+        # a prior match exists, since prior ts <= now).
+        anchor = F.min(F.when(predicate, F.col(ts_sec))).over(w_range)
+        g = now - anchor
+        folded = F.greatest(g, F.lit(init))
+    in_window = (n_prior_in_window > 0) & anchor.isNotNull() & (
+        g <= F.lit(float(timediff))
+    )
+    bucket = time_diff_normal_expr(folded, now).cast("double")
+    return df.withColumn(
+        out, F.when(in_window, bucket).otherwise(F.lit(float(default_value)))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    order_by: Sequence[str] = (TURN, TS_SEC),
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts when the gap to
+    the previous turn exceeds ``gap_seconds`` (cumulative-sum of boundary
+    flags over the conversation window — north_rule sessionization).
+    """
+    w = _order_window(conv, order_by)
+    gap = F.col(ts_sec) - F.lag(ts_sec).over(w)
+    boundary = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    idx = F.sum(boundary).over(
+        _order_window(conv, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("session_idx", idx.cast("long")).withColumn(
+        out, F.concat_ws("#", F.col(conv), idx.cast("string"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Sort-merge as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` (or ``<`` when strict) per key.
+
+    Implemented as union + windowed last(ignorenulls) — one shuffle on the
+    key, linear scan per partition, no per-group materialization (safe for
+    mega-keys, unlike per-group merge_asof). This is the backfill /
+    feature-snapshot join of the north rule.
+
+    tolerance: max allowed ``left_ts - right_ts`` (like merge_asof
+    tolerance / the kernel's timediff); matches outside it become null.
+    """
+    lcols = left.columns
+    # side ordering at equal ts: right first (0) so `<=` sees it; strict
+    # puts right after left (left sees only strictly earlier rows).
+    right_rank, left_rank = (1, 0) if strict else (0, 1)
+
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).cast("double").alias("__t"),
+        F.lit(right_rank).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn("__rt", F.col("__t"))
+
+    l = left.select(
+        *lcols,
+        F.col(left_ts).cast("double").alias("__t"),
+        F.lit(left_rank).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn("__rt", F.lit(None).cast("double"))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in lcols if c not in (on,)],
+        F.col(on),
+        F.col("__t"),
+        F.col("__side"),
+        F.last("__rt", ignorenulls=True).over(w).alias("__asof_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == left_rank)
+    if tolerance is not None:
+        within = (F.col("__t") - F.col("__asof_ts")) <= float(tolerance)
+        out = out.select(
+            *[c for c in lcols],
+            *[
+                F.when(within, F.col(c)).alias(c) if c in value_cols else F.col(c)
+                for c in value_cols
+            ],
+            F.when(within, F.col("__asof_ts")).alias("asof_ts"),
+        )
+    else:
+        out = out.select(*lcols, *value_cols, F.col("__asof_ts").alias("asof_ts"))
+    return out
+
+
+def backfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    conv: str = CONV,
+    order_by: Sequence[str] = (TURN, TS_SEC),
+) -> DataFrame:
+    """Forward-fill nulls from the latest prior non-null within the
+    conversation (snapshot backfill; never reads the future)."""
+    w = _order_window(conv, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def history_arrays(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    order_by: Sequence[str] = (TURN, TS_SEC),
+    max_history: int | None = None,
+) -> DataFrame:
+    """Materialize per-turn behavior-history arrays of all *prior* turns:
+    (hist_keys, hist_values, hist_ts) — the exact input shape of the
+    reference's array lookup kernel. Bridges table <-> kernel forms so the
+    in-row kernels (operators/lookup_array.py) run unchanged per turn.
+
+    O(n^2) per conversation by nature — bounded by ``max_history`` (keep
+    the most recent K) for production; unbounded only in tests.
+    """
+    w = _order_window(conv, order_by).rowsBetween(Window.unboundedPreceding, -1)
+    hist_k = F.collect_list(key_col).over(w)
+    hist_v = F.collect_list(F.col(value_col).cast("double")).over(w)
+    hist_t = F.collect_list(F.col(ts_sec)).over(w)
+    if max_history:
+        hist_k = F.slice(hist_k, -max_history, max_history)
+        hist_v = F.slice(hist_v, -max_history, max_history)
+        hist_t = F.slice(hist_t, -max_history, max_history)
+    return (
+        df.withColumn("hist_keys", hist_k)
+        .withColumn("hist_values", hist_v)
+        .withColumn("hist_ts", hist_t)
+    )

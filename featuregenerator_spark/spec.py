@@ -1,0 +1,242 @@
+"""FeatureConfig JSON -> typed feature specs.
+
+Mirrors the declarative surface of the reference
+(``fg_lite/feature/FeatureConfig.cpp:24-107`` parse/dispatch,
+``FeatureFunctionCreator.cpp:140-223`` factory): a run is a JSON document
+
+    {"features": [
+        {"feature_type": "id_feature", "feature_name": "role_id",
+         "expression": "role", "need_prefix": true},
+        {"feature_type": "lookup_feature", "feature_name": "tool_cnt_1h",
+         "map_keys": "hist_tools", "map_values": "hist_vals",
+         "value_timestamps": "hist_ts", "pvtime": "ts_sec", "key": "tool",
+         "timediff": 3600, "combiner2": "count", "count_cut_threshold": 10},
+        ...]}
+
+Each entry becomes a typed spec; ``compile_spec`` resolves expressions
+against a DataFrame's columns and returns named Columns, so a whole config
+compiles into ONE ``df.select(...)`` that Catalyst optimizes end-to-end.
+Config validation mirrors the reference's throws (sorted boundaries,
+FeatureConfig.h:42-45; discrete/optimized conflicts, :241-243).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.functions.normalizers import Normalizer, parse_normalizer
+
+
+@dataclass
+class FeatureSpec:
+    feature_type: str
+    feature_name: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def depend_inputs(self) -> list[str]:
+        """Named input expressions — the host prunes columns with this
+        (manual column pruning in the reference, FeatureConfig.h:111-127;
+        Catalyst does it automatically, but we keep the API for parity)."""
+        keys = (
+            "expression",
+            "expressions",
+            "map",
+            "map_keys",
+            "map_values",
+            "key",
+            "pvtime",
+            "value_timestamps",
+            "user",
+            "item",
+            "category",
+            "query",
+            "title",
+        )
+        out: list[str] = []
+        for k in keys:
+            v = self.params.get(k)
+            if isinstance(v, str):
+                out.append(v)
+            elif isinstance(v, list):
+                out.extend(v)
+        return out
+
+
+_KNOWN_TYPES = {
+    "id_feature",
+    "raw_feature",
+    "combo_feature",
+    "lookup_feature",
+    "lookup_feature_v2",
+    "lookup_feature_v3",
+    "lookup_feature_btree",
+    "match_feature",
+    "overlap_feature",
+    "kgb_match_semantic",
+    "preclick_urb_word_feature",
+}
+
+
+def parse_config(config: str | dict) -> list[FeatureSpec]:
+    """Parse a FeatureConfig JSON document into typed specs (validated)."""
+    doc = json.loads(config) if isinstance(config, str) else config
+    specs: list[FeatureSpec] = []
+    for entry in doc.get("features", []):
+        ftype = entry.get("feature_type")
+        if ftype not in _KNOWN_TYPES:
+            raise ValueError(f"unknown feature_type: {ftype!r}")
+        name = entry.get("feature_name")
+        if not name:
+            raise ValueError("feature_name is required")
+        params = {k: v for k, v in entry.items() if k not in ("feature_type", "feature_name")}
+        bounds = params.get("bucketize_boundaries")
+        if bounds and list(bounds) != sorted(bounds):
+            raise ValueError(f"{name}: bucketize_boundaries must be sorted")
+        if params.get("needDiscrete") and params.get("isOptimized"):
+            raise ValueError(f"{name}: discrete and optimized are exclusive")
+        specs.append(FeatureSpec(ftype, name, params))
+    return specs
+
+
+def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
+    """Resolve one spec against df's schema -> a named output Column."""
+    from featuregenerator_spark.operators import (
+        combo_feature as combo_mod,
+        id_feature as id_mod,
+        lookup_array as la_mod,
+        raw_feature as raw_mod,
+    )
+
+    p = spec.params
+    schema = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+
+    def col(name: str) -> Column:
+        if name not in schema:
+            raise ValueError(f"{spec.feature_name}: unknown input column {name!r}")
+        return F.col(name)
+
+    if spec.feature_type == "id_feature":
+        expr = p["expression"]
+        dtype = schema[expr]
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.ArrayType):
+            out = id_mod.id_feature_multi(
+                col(expr),
+                spec.feature_name,
+                dtype.elementType,
+                p.get("need_prefix", True),
+                p.get("prune_to", 5000),
+                p.get("invalid_values"),
+            )
+        else:
+            out = id_mod.id_feature_scalar(
+                col(expr),
+                spec.feature_name,
+                dtype,
+                p.get("need_prefix", True),
+                p.get("invalid_values"),
+            )
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "raw_feature":
+        expr = p["expression"]
+        norm = parse_normalizer(p.get("normalizer"))
+        bounds = p.get("bucketize_boundaries")
+        from pyspark.sql import types as T
+
+        if isinstance(schema[expr], T.ArrayType):
+            out = raw_mod.raw_feature_multi(
+                col(expr), norm, bounds, p.get("value_dimension")
+            )
+        else:
+            out = raw_mod.raw_feature_scalar(col(expr), norm, bounds)
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "combo_feature":
+        exprs = p["expressions"]
+        from pyspark.sql import types as T
+
+        any_array = any(isinstance(schema[e], T.ArrayType) for e in exprs)
+        if not any_array:
+            out = combo_mod.combo_feature_scalar(
+                [col(e) for e in exprs], spec.feature_name, p.get("need_prefix", True)
+            )
+        else:
+            cols = [
+                col(e)
+                if isinstance(schema[e], T.ArrayType)
+                else F.array(col(e))
+                for e in exprs
+            ]
+            out = combo_mod.combo_feature_multi(
+                cols,
+                spec.feature_name,
+                p.get("need_prefix", True),
+                p.get("prune_limits"),
+                p.get("prune_right"),
+                p.get("need_sort", False),
+            )
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "lookup_feature":
+        timediff = p.get("timediff", -1)
+        keys = col(p["key"])
+        from pyspark.sql import types as T
+
+        if not isinstance(schema[p["key"]], T.ArrayType):
+            keys = F.array(keys)
+        if timediff is not None and timediff >= 0:
+            combiner2 = p.get("combiner2", "none")
+            common = dict(
+                map_keys=col(p["map_keys"]),
+                map_values=col(p["map_values"]),
+                value_ts=col(p["value_timestamps"]),
+                pvtime=col(p["pvtime"]),
+                keys=keys,
+                timediff=float(timediff),
+            )
+            if combiner2 == "count":
+                out = la_mod.lookup_count(
+                    **common, count_cut_threshold=p.get("count_cut_threshold", -1)
+                )
+            elif combiner2 in ("gap_min", "gap_max"):
+                out = la_mod.lookup_gap(
+                    **common,
+                    gap=combiner2,
+                    default_value=float(p.get("default_lookup_value", 0) or 0),
+                )
+            else:
+                out = la_mod.lookup_none_discrete(
+                    **common,
+                    feature_name=spec.feature_name,
+                    need_prefix=p.get("need_prefix", True),
+                    default_value=str(p.get("default_lookup_value", "")),
+                )
+            return out.alias(spec.feature_name)
+        out = la_mod.lookup_dense(
+            col(p["map_keys"]),
+            col(p["map_values"]),
+            keys,
+            p.get("combiner", "sum"),
+            p.get("bucketize_boundaries"),
+        )
+        return out.alias(spec.feature_name)
+
+    raise NotImplementedError(
+        f"compile_spec: {spec.feature_type} is built via its operator module; "
+        "see featuregenerator_spark.operators"
+    )
+
+
+def compile_config(config: str | dict, df: DataFrame) -> DataFrame:
+    """Whole config -> one select() over df (plus passthrough keys)."""
+    specs = parse_config(config)
+    cols = [F.col(c) for c in df.columns]
+    cols.extend(compile_spec(s, df) for s in specs)
+    return df.select(*cols)
