@@ -52,4 +52,4 @@ def id_feature_scalar(
     arr = id_feature_multi(
         F.array(col), feature_name, element_type, need_prefix, 1, invalid_values
     )
-    return F.element_at(arr, 1)
+    return F.try_element_at(arr, F.lit(1))

@@ -235,7 +235,7 @@ def lookup_discrete(
     def fmt(v: Column) -> Column:
         return fmt_float_0f(v) if values_are_float else v.cast("string")
 
-    probed = F.transform(keys, lambda k: fmt(F.element_at(m, _canon(k))))
+    probed = F.transform(keys, lambda k: fmt(F.try_element_at(m, _canon(k))))
     if has_default:
         probed = F.transform(probed, lambda v: F.coalesce(v, F.lit(default_value)))
     else:
@@ -253,7 +253,7 @@ def lookup_dense(
     """no-timediff dense: combiner-fold probed values (misses skipped,
     empty -> 0), optional upper_bound bucketize -> SingleInteger."""
     m = _lww_map(map_keys, map_values)
-    probed = F.transform(keys, lambda k: F.element_at(m, _canon(k)).cast("double"))
+    probed = F.transform(keys, lambda k: F.try_element_at(m, _canon(k)).cast("double"))
     combined = combine_array(probed, combiner)
     if boundaries:
         return bucketize_expr(combined, boundaries)

@@ -46,7 +46,7 @@ def lookup_encoded_scalar(
 
     probed = F.transform(
         probe_keys,
-        lambda k: F.element_at(encoded, F.xxhash64(k.cast("string"))).cast("double"),
+        lambda k: F.try_element_at(encoded, F.xxhash64(k.cast("string"))).cast("double"),
     )
     return combine_array(probed, combiner)
 
@@ -65,14 +65,14 @@ def lookup_encoded_multidim(
     hit_vecs = F.filter(
         F.transform(
             probe_keys,
-            lambda k: F.element_at(encoded, F.xxhash64(k.cast("string"))),
+            lambda k: F.try_element_at(encoded, F.xxhash64(k.cast("string"))),
         ),
         lambda v: v.isNotNull(),
     )
     dims = F.sequence(F.lit(0), F.lit(value_dimension - 1))
 
     def per_dim(i: Column) -> Column:
-        vals = F.transform(hit_vecs, lambda v: F.element_at(v, i + 1).cast("double"))
+        vals = F.transform(hit_vecs, lambda v: F.try_element_at(v, i + 1).cast("double"))
         from featuregenerator_spark.functions.combiners import combine_array
 
         return combine_array(vals, combiner)

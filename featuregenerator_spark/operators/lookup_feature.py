@@ -47,8 +47,8 @@ def lookup_v1_discrete(
     probed = F.transform(
         keys,
         lambda k: F.when(
-            F.element_at(m, k.cast("string")).isNotNull(),
-            F.concat_ws("_", k.cast("string"), F.element_at(m, k.cast("string"))),
+            F.try_element_at(m, k.cast("string")).isNotNull(),
+            F.concat_ws("_", k.cast("string"), F.try_element_at(m, k.cast("string"))),
         ).otherwise(
             F.concat_ws("_", k.cast("string"), F.lit(default_value))
             if has_default
@@ -70,7 +70,7 @@ def lookup_v1_dense(
     """dense: combine probed numeric values; optional normalize/bucketize."""
     m = kv_array_to_map(map_col)
     probed = F.transform(
-        keys, lambda k: F.element_at(m, k.cast("string")).cast("double")
+        keys, lambda k: F.try_element_at(m, k.cast("string")).cast("double")
     )
     if default_value is not None:
         probed = F.transform(
@@ -95,11 +95,11 @@ def lookup_v1_weighting(
     Returns array<struct<key:string, weight:double>>.
     """
     m = kv_array_to_map(map_col)
-    hits = F.filter(keys, lambda k: F.element_at(m, k.cast("string")).isNotNull())
+    hits = F.filter(keys, lambda k: F.try_element_at(m, k.cast("string")).isNotNull())
     return F.transform(
         hits,
         lambda k: F.struct(
             with_prefix(k.cast("string"), feature_name, need_prefix).alias("key"),
-            F.element_at(m, k.cast("string")).cast("double").alias("weight"),
+            F.try_element_at(m, k.cast("string")).cast("double").alias("weight"),
         ),
     )

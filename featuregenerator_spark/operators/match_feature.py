@@ -87,8 +87,8 @@ def match_hit_sparse(
     """hit, sparse: ``prefix_cat_item_value`` for the first matching
     category (reference probes the found/first category only)."""
     cats = _categories(user_map, category)
-    first = F.element_at(cats, 1)
-    val = F.element_at(first["value"], item)
+    first = F.try_element_at(cats, F.lit(1))
+    val = F.try_element_at(first["value"], item)
     return F.when(
         val.isNotNull(),
         F.concat_ws("_", F.lit(feature_name), first["key"], item, val),
@@ -98,8 +98,8 @@ def match_hit_sparse(
 def match_hit_dense(user_map: Column, category: Column, item: Column) -> Column:
     """hit, dense: matched value as double (null when no match)."""
     cats = _categories(user_map, category)
-    first = F.element_at(cats, 1)
-    return F.element_at(first["value"], item).cast("double")
+    first = F.try_element_at(cats, F.lit(1))
+    return F.try_element_at(first["value"], item).cast("double")
 
 
 def match_multihit_sparse(
@@ -160,19 +160,19 @@ def match_cos(user_map: Column, category: Column, item_kvs: Column) -> Column:
     category is absent or the item string is empty/invalid.
     """
     cats = _categories(user_map, category)
-    first = F.element_at(cats, 1)
+    first = F.try_element_at(cats, F.lit(1))
     kvmap = first["value"]
     item_map = _parse_kv(item_kvs)
     entries = F.map_entries(item_map)
     matched = F.size(
-        F.filter(entries, lambda e: F.element_at(kvmap, e["key"]).isNotNull())
+        F.filter(entries, lambda e: F.try_element_at(kvmap, e["key"]).isNotNull())
     )
     dot = F.aggregate(
         entries,
         F.lit(0).cast("long"),
         lambda acc, e: acc
         + e["value"].cast("long")
-        * F.coalesce(F.element_at(kvmap, e["key"]).cast("long"), F.lit(0)),
+        * F.coalesce(F.try_element_at(kvmap, e["key"]).cast("long"), F.lit(0)),
     )
     scaled = (dot.cast("float") / (100 * 100 * matched) * 100).cast("long")
     return F.when((matched > 0) & kvmap.isNotNull(), scaled).otherwise(

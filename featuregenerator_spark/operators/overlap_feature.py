@@ -43,7 +43,7 @@ def overlap_feature(q: Column, t: Column, method: str) -> Column:
             offsets,
             lambda off: F.forall(
                 F.sequence(F.lit(0), nq - 1),
-                lambda i: F.element_at(t, off + i + 1) == F.element_at(q, i + 1),
+                lambda i: F.try_element_at(t, off + i + 1) == F.try_element_at(q, i + 1),
             ),
         )
         return (hit & (nq > 0) & (nq <= nt)).cast("int")

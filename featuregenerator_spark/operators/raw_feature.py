@@ -52,7 +52,7 @@ def raw_feature_multi(
     if value_dimension:
         idx = F.sequence(F.lit(0), F.lit(value_dimension - 1))
         arr = F.transform(
-            idx, lambda i: F.coalesce(F.element_at(arr, i + 1), F.lit(0.0))
+            idx, lambda i: F.coalesce(F.try_element_at(arr, i + 1), F.lit(0.0))
         )
     if normalizer is not None:
         arr = F.transform(arr, lambda v: normalize_expr(v, normalizer))

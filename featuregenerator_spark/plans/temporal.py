@@ -105,7 +105,7 @@ def with_rolling_count(
     w = (
         Window.partitionBy(conv)
         .orderBy(F.col(ts_sec))
-        .rangeBetween(-float(window_seconds), 0)
+        .rangeBetween(-int(window_seconds), 0)
     )
     cnt = F.sum(ind).over(w)
     if not include_current:
@@ -134,7 +134,7 @@ def with_rolling_agg(
     w = (
         Window.partitionBy(conv)
         .orderBy(F.col(ts_sec))
-        .rangeBetween(-float(window_seconds), 0 if include_current else -1)
+        .rangeBetween(-int(window_seconds), 0 if include_current else -1)
     )
     fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "mean": F.avg}[agg]
     return df.withColumn(out, fn(value).over(w))
@@ -165,7 +165,7 @@ def with_gap_since_match(
     w_range = (
         Window.partitionBy(conv)
         .orderBy(F.col(ts_sec))
-        .rangeBetween(-float(timediff), 0)
+        .rangeBetween(-int(timediff), 0)
     )
     # any strictly-prior matching turn inside [now - timediff, now]?
     n_prior_in_window = F.sum(ind).over(w_range) - ind

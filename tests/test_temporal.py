@@ -1,0 +1,138 @@
+"""Pipeline-level temporal semantics vs the pandas oracle + leakage tests.
+
+north_rule invariants verified here:
+  - rolling counts / sessionization / as-of match a row-at-a-time oracle
+    at every (conv_id, turn_idx, ts);
+  - ZERO temporal leakage: recomputing on a prefix of each conversation
+    (future rows deleted) leaves every surviving feature unchanged.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.oracle import pandas_kernels as oracle
+from featuregenerator_spark.plans import temporal
+from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+from featuregenerator_spark.sources.transcripts import synth_snapshots
+
+
+def _rows_by_conv(df, cols):
+    data = {}
+    for r in df.select("conv_id", *cols).collect():
+        data.setdefault(r["conv_id"], []).append(r.asDict())
+    for v in data.values():
+        v.sort(key=lambda x: (x["turn_idx"]))
+    return data
+
+
+def test_rolling_count_matches_oracle(spark, transcripts):
+    df = temporal.with_ts_seconds(transcripts)
+    df = temporal.with_rolling_count(df, 3600.0, "c1h", include_current=False)
+    got = _rows_by_conv(df, ["turn_idx", "ts_sec", "c1h"])
+    for conv, rows in got.items():
+        want = oracle.rolling_count_per_user(rows, 3600.0, include_current=False)
+        have = [r["c1h"] for r in rows]
+        assert have == want, conv
+
+
+def test_rolling_count_predicate(spark, transcripts):
+    df = temporal.with_ts_seconds(transcripts)
+    df = temporal.with_rolling_count(
+        df, 7200.0, "tool2h", predicate=F.col("role") == "tool", include_current=False
+    )
+    got = _rows_by_conv(df, ["turn_idx", "ts_sec", "role", "tool2h"])
+    for conv, rows in got.items():
+        want = oracle.rolling_count_per_user(
+            rows, 7200.0, pred=lambda r: r["role"] == "tool", include_current=False
+        )
+        assert [r["tool2h"] for r in rows] == want, conv
+
+
+def test_sessionize_matches_oracle(spark, transcripts):
+    df = temporal.with_ts_seconds(transcripts)
+    df = temporal.sessionize(df, 1800.0)
+    got = _rows_by_conv(df, ["turn_idx", "ts_sec", "session_idx"])
+    for conv, rows in got.items():
+        want = oracle.sessionize_rows([r["ts_sec"] for r in rows], 1800.0)
+        assert [r["session_idx"] for r in rows] == want, conv
+
+
+def test_gap_features(spark, transcripts):
+    df = temporal.with_ts_seconds(transcripts)
+    df = temporal.with_gap(df)
+    got = _rows_by_conv(df, ["turn_idx", "ts_sec", "gap_seconds", "gap_bucket"])
+    for conv, rows in got.items():
+        prev = None
+        for r in rows:
+            if prev is None:
+                assert r["gap_seconds"] is None
+            else:
+                g = r["ts_sec"] - prev
+                assert abs(r["gap_seconds"] - g) < 1e-6
+                assert r["gap_bucket"] == oracle.time_diff_normal(g, r["ts_sec"])
+            prev = r["ts_sec"]
+
+
+def test_asof_join_matches_oracle(spark, transcripts):
+    snaps = synth_snapshots(spark, transcripts, every_n_turns=7)
+    df = temporal.with_ts_seconds(transcripts)
+    joined = temporal.asof_join(
+        df, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+        value_cols=["feature_state"], strict=True,
+    )
+    snap_rows = {}
+    for r in snaps.collect():
+        snap_rows.setdefault(r["conv_id"], []).append(
+            (r["snap_ts"].timestamp(), dict(r["feature_state"]))
+        )
+    for r in joined.collect():
+        want = oracle.asof_values(
+            r["ts"].timestamp(), snap_rows.get(r["conv_id"], []), strict=True
+        )
+        got = dict(r["feature_state"]) if r["feature_state"] is not None else None
+        assert got == want, (r["conv_id"], r["turn_idx"])
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", 100.0), ("a", 200.0)], "conv_id string, t double"
+    )
+    right = spark.createDataFrame(
+        [("a", 90.0, 1.0), ("a", 10.0, 2.0)], "conv_id string, rt double, v double"
+    )
+    out = temporal.asof_join(
+        left, right, on="conv_id", left_ts="t", right_ts="rt",
+        value_cols=["v"], tolerance=50.0,
+    )
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got[100.0] == 1.0   # 100-90=10 <= 50
+    assert got[200.0] is None  # 200-90=110 > 50
+
+
+def test_zero_leakage(spark, transcripts):
+    """Deleting future turns must not change features of surviving turns."""
+    full = build_turn_features(temporal.with_ts_seconds(transcripts)).select(
+        *FEATURE_COLUMNS
+    )
+    cutoff = 10
+    prefix = transcripts.filter(F.col("turn_idx") < cutoff)
+    pref_feat = build_turn_features(temporal.with_ts_seconds(prefix)).select(
+        *FEATURE_COLUMNS
+    )
+    full_prefix = full.filter(F.col("turn_idx") < cutoff)
+    # symmetric difference must be empty
+    diff1 = full_prefix.exceptAll(pref_feat)
+    diff2 = pref_feat.exceptAll(full_prefix)
+    assert diff1.count() == 0 and diff2.count() == 0
+
+
+def test_backfill(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, None), ("a", 3, 5.0), ("a", 4, None)],
+        "conv_id string, turn_idx int, x double",
+    )
+    df = df.withColumn("ts_sec", F.col("turn_idx").cast("double"))
+    out = temporal.backfill(df, ["x"])
+    got = {r["turn_idx"]: r["x"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 5.0, 4: 5.0}
