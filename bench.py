@@ -1,0 +1,161 @@
+"""Benchmark driver — prints ONE JSON line with per-query seconds.
+
+Default: runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+  - flagship: full point-in-time turn-feature pipeline over a
+    deterministic synthetic transcript table sized to the SF (plus one
+    mega-conversation hot key), written to a noop sink;
+  - pipeline_events: the same pipeline over the driver events table;
+  - representative operator queries from __spark_entry__ (windows, as-of,
+    dedup, LSH, ANN).
+
+`--scaling` additionally runs the flagship at two parallelism levels
+(local[8] vs local[32] in separate subprocesses) and reports throughput +
+scaling efficiency — the sandbox stand-in for the north rule's N vs 4N
+executors criterion (see BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# synthetic transcript scale per SF (≈ 6x lineitem rows of the same SF)
+SF_SYNTH = {
+    "0.001": (200, 40, 2_000),
+    "0.01": (2_000, 50, 10_000),
+    "0.1": (20_000, 55, 50_000),
+    "1": (200_000, 60, 200_000),
+}
+
+BENCH_QUERIES = [
+    "rolling_count_1h",
+    "rolling_sum_24h",
+    "sessionize_30m",
+    "asof_last_purchase",
+    "lookup_array_kernel_parity",
+    "user_stats_salted",
+    "neardup_token_jaccard",
+    "minhash_lsh_candidates",
+    "ann_cosine_top10",
+]
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def _noop(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_flagship(spark, sf: str) -> tuple[float, int]:
+    """Synthetic-transcript feature pipeline; returns (sec, rows)."""
+    from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+    from featuregenerator_spark.plans.temporal import with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import synth_transcripts
+
+    n_convs, max_turns, skew = SF_SYNTH.get(sf, SF_SYNTH["0.1"])
+    tr = synth_transcripts(
+        spark, n_convs=n_convs, max_turns=max_turns, seed=42, skew_conv_turns=skew
+    )
+    rows = tr.count()
+    t0 = time.time()
+    feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
+    _noop(feat)
+    return time.time() - t0, rows
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        return run_scaling()
+
+    cores = CPUS
+    for i, a in enumerate(sys.argv):
+        if a == "--cores":
+            cores = int(sys.argv[i + 1])
+
+    from featuregenerator_spark.session import get_spark
+
+    spark = get_spark("fg-bench", cores=cores, shuffle_partitions=cores)
+    sf = _sf_of(SF_DIR)
+
+    import __spark_entry__ as entrymod
+
+    queries: dict[str, float] = {}
+
+    t, rows = run_flagship(spark, sf)
+    queries["flagship_transcripts"] = round(t, 3)
+    turns_per_sec = rows / t if t > 0 else 0.0
+
+    if "--pipeline-only" not in sys.argv:
+        qmap = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _noop(qmap[name](spark, SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cores": cores,
+                "flagship_rows": rows,
+                "flagship_turns_per_sec": round(turns_per_sec, 1),
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    """Same job at 8 and 32 cores -> throughput + scaling efficiency."""
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores), "--pipeline-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8 = results[8]["queries"]["flagship_transcripts"]
+    t32 = results[32]["queries"]["flagship_transcripts"]
+    tput8 = results[8]["flagship_rows"] / t8
+    tput32 = results[32]["flagship_rows"] / t32
+    efficiency = (tput32 / tput8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cores",
+                "value": round(efficiency, 3),
+                "unit": "ratio",
+                "throughput_rows_per_sec": {
+                    "cores_8": round(tput8, 1),
+                    "cores_32": round(tput32, 1),
+                },
+                "wall_sec": {"cores_8": t8, "cores_32": t32},
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

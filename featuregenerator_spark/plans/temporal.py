@@ -27,9 +27,14 @@ TS_SEC = "ts_sec"
 
 
 def with_ts_seconds(df: DataFrame, ts_col: str = TS, out: str = TS_SEC) -> DataFrame:
-    """Add epoch-seconds double column (range windows need numeric order)."""
+    """Add epoch-seconds double column (range windows need numeric order).
+
+    Handles both TIMESTAMP and TIMESTAMP_NTZ inputs (the latter can't cast
+    straight to double); with the session TZ pinned to UTC both yield the
+    same epoch value.
+    """
     return df.withColumn(
-        out, F.col(ts_col).cast("double")
+        out, F.col(ts_col).cast("timestamp").cast("double")
     )
 
 

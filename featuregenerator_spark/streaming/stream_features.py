@@ -1,0 +1,95 @@
+"""Streaming turn-feature computation (online path).
+
+The reference's online serving path evaluates kernels per request batch;
+the Spark-native analogue is a Structured Streaming job over the same
+transcript schema:
+
+  - watermarked event time (late turns tolerated up to the watermark);
+  - windowed rolling counts via ``F.window`` tumbling/sliding aggregates;
+  - gap-based sessions via ``F.session_window`` (native gap sessionization);
+  - arbitrary per-conversation state (e.g. running feature snapshots) via
+    ``applyInPandasWithState`` when expressible aggregates don't suffice.
+
+Batch/stream parity: these produce the same feature values as
+plans/temporal.py for on-time data; tests drive a parquet-backed stream
+to completion with processAllAvailable() and compare against the batch
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def rolling_turn_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window turn/tool counts per conversation (append mode)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("turns_in_window"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias(
+                "tool_calls_in_window"
+            ),
+            F.avg(F.length("text")).alias("avg_text_len"),
+        )
+    )
+
+
+def session_aggregates(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native gap sessionization: one row per closed session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("session_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "session_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str):
+    """Drive a bounded source to completion synchronously (tests/smoke)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
