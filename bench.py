@@ -87,7 +87,7 @@ def main() -> None:
     from featuregenerator_spark.session import get_spark
 
     spark = get_spark("fg-bench", cores=cores, shuffle_partitions=cores)
-    sf = _sf_of(SF_DIR)
+    sf = os.environ.get("SPARK_GRAFT_BENCH_SF") or _sf_of(SF_DIR)
 
     import __spark_entry__ as entrymod
 
@@ -122,10 +122,16 @@ def main() -> None:
 
 
 def run_scaling() -> None:
-    """Same job at 8 and 32 cores -> throughput + scaling efficiency."""
+    """Same job at 8 and 32 cores -> throughput + scaling efficiency.
+
+    Uses the sf=1 synthetic size (~6M turns) regardless of SPARK_GRAFT_SF_DIR:
+    scaling efficiency is only meaningful once per-core work dominates fixed
+    stage-scheduling overhead and the (intentional) serial mega-conversation
+    hot key — at sf0.1 the whole job is ~8s and Amdahl noise wins.
+    """
     results = {}
     for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_BENCH_SF="1")
         out = subprocess.run(
             [sys.executable, __file__, "--cores", str(cores), "--pipeline-only"],
             capture_output=True,

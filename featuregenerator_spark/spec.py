@@ -191,6 +191,29 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
 
         if not isinstance(schema[p["key"]], T.ArrayType):
             keys = F.array(keys)
+        if "map" in p:  # V1 "k:v" string-array form
+            from featuregenerator_spark.operators import lookup_feature as lf
+
+            if p.get("needDiscrete", True):
+                out = lf.lookup_v1_discrete(
+                    col(p["map"]), keys, spec.feature_name,
+                    p.get("need_prefix", True),
+                    p.get("default_lookup_value") is not None,
+                    str(p.get("default_lookup_value", "")),
+                )
+            elif p.get("needWeighting"):
+                out = lf.lookup_v1_weighting(
+                    col(p["map"]), keys, spec.feature_name,
+                    p.get("need_prefix", True),
+                )
+            else:
+                out = lf.lookup_v1_dense(
+                    col(p["map"]), keys,
+                    p.get("combiner", "sum"),
+                    parse_normalizer(p.get("normalizer")),
+                    p.get("bucketize_boundaries"),
+                )
+            return out.alias(spec.feature_name)
         if timediff is not None and timediff >= 0:
             combiner2 = p.get("combiner2", "none")
             common = dict(
@@ -228,9 +251,121 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
         )
         return out.alias(spec.feature_name)
 
+    if spec.feature_type in ("lookup_feature_v2", "lookup_feature_v3", "lookup_feature_btree"):
+        # byte encodings are physical-only (SURVEY.md §4.3): the Spark
+        # carrier is a MapType column, built offline by encode_map.
+        from featuregenerator_spark.operators import lookup_encoded as le
+
+        keys = col(p["key"])
+        from pyspark.sql import types as T
+
+        if not isinstance(schema[p["key"]], T.ArrayType):
+            keys = F.array(keys)
+        encoded = col(p["map"])
+        if p.get("value_dimension", 1) > 1 or spec.feature_type == "lookup_feature_v3":
+            out = le.lookup_encoded_multidim(
+                encoded, keys, p.get("value_dimension", 1), p.get("combiner", "sum")
+            )
+        else:
+            out = le.lookup_encoded_scalar(encoded, keys, p.get("combiner", "sum"))
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "match_feature":
+        from featuregenerator_spark.operators import match_feature as mf
+
+        user_map = mf.parse_user_info(col(p["user"]))
+        cat = col(p["category"]) if p.get("category") in schema else F.lit(
+            p.get("category", "ALL")
+        )
+        item = col(p["item"]) if p.get("item") in schema else F.lit(
+            p.get("item", "ALL")
+        )
+        mtype = p.get("match_type", "hit")
+        if mtype == "hit":
+            out = (
+                mf.match_hit_dense(user_map, cat, item)
+                if not p.get("needDiscrete", True)
+                else mf.match_hit_sparse(user_map, cat, item, spec.feature_name)
+            )
+        elif mtype == "multihit":
+            out = mf.match_multihit_sparse(
+                user_map, cat, item, spec.feature_name,
+                p.get("show_category", True), p.get("show_item", True),
+            )
+        elif mtype == "cross":
+            out = mf.match_cross(user_map, cat, item, spec.feature_name)
+        elif mtype == "cos":
+            out = mf.match_cos(user_map, cat, item)
+        else:
+            raise ValueError(f"unknown match_type {mtype!r}")
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "overlap_feature":
+        from featuregenerator_spark.operators import overlap_feature as of
+        from pyspark.sql import types as T
+
+        def tokens(name: str) -> Column:
+            c = col(name)
+            if isinstance(schema[name], T.ArrayType):
+                return c
+            return F.split(c, p.get("separator", " "))
+
+        q, t = tokens(p["query"]), tokens(p["title"])
+        method = p.get("method", "common_word")
+        if method.endswith("_divided"):
+            out = of.overlap_feature_sparse(
+                q, t, method, spec.feature_name, p.get("need_prefix", True)
+            )
+        else:
+            out = of.overlap_dense_clipped(q, t, method, p.get("cut_threshold", -1))
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "kgb_match_semantic":
+        from featuregenerator_spark.operators import kgb_match as km
+
+        q, t = col(p["query"]), col(p["title"])
+        if p.get("need_hit_ret"):
+            out = km.kgb_hit_ret(
+                q, t, spec.feature_name, p.get("need_prefix", True),
+                col(p["other"]) if p.get("other") else None,
+                p.get("combo_right", True),
+            )
+        elif p.get("as_bytes"):
+            out = km.kgb_match_bytes(
+                q, t, spec.feature_name, p.get("match", True),
+                p.get("need_prefix", True),
+            )
+        else:
+            out = km.kgb_match_terms(
+                q, t, spec.feature_name, p.get("match", True),
+                p.get("need_prefix", True),
+            )
+        return out.alias(spec.feature_name)
+
+    if spec.feature_type == "preclick_urb_word_feature":
+        from featuregenerator_spark.operators import preclick_urb as pu
+
+        expr = col(p["expression"])
+        kw = dict(
+            need_prefix=p.get("need_prefix", True),
+            delim_item=p.get("delim_item", ","),
+            delim_kv=p.get("delim_kv"),
+            need_decode=p.get("need_decode", False),
+            uint64_keys=p.get("uint64_expression", False),
+        )
+        if p.get("need_match"):
+            out = pu.match_words(
+                expr, col(p["match"]), spec.feature_name,
+                raw_expression=p.get("raw_expression", False),
+                output_count=p.get("output_count", False),
+                **kw,
+            )
+        else:
+            out = pu.top_words(expr, spec.feature_name, **kw)
+        return out.alias(spec.feature_name)
+
     raise NotImplementedError(
-        f"compile_spec: {spec.feature_type} is built via its operator module; "
-        "see featuregenerator_spark.operators"
+        f"compile_spec: unhandled feature_type {spec.feature_type!r}"
     )
 
 

@@ -1,0 +1,72 @@
+"""Config-driven compilation covers the whole factory surface
+(FeatureFunctionCreator parity: every feature_type buildable from JSON)."""
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.spec import compile_config
+
+
+def test_full_factory_surface(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "row1",
+                ["k1:3", "k2:5"],          # kv map (V1)
+                ["k1", "k2", "kx"],        # probe keys
+                "catA^i1:7,i2:9",          # user profile
+                "catA", "i1",
+                ["a", "b", "c"],           # query tokens
+                ["b", "c", "d"],           # title tokens
+                [(1 << 56) | 100, (3 << 56) | 300],       # kgb query terms
+                [(1 << 32) | 100, (3 << 32) | 999],       # kgb item terms
+                ["x,y,x", "y,x,z"],        # preclick items
+            )
+        ],
+        "id string, kv array<string>, probe array<string>, user string, "
+        "cat string, item string, q array<string>, t array<string>, "
+        "kq array<long>, kt array<long>, items array<string>",
+    )
+    config = {
+        "features": [
+            {"feature_type": "lookup_feature", "feature_name": "lv1",
+             "map": "kv", "key": "probe", "needDiscrete": False,
+             "combiner": "sum"},
+            {"feature_type": "lookup_feature", "feature_name": "lv1d",
+             "map": "kv", "key": "probe", "needDiscrete": True,
+             "default_lookup_value": "0"},
+            {"feature_type": "match_feature", "feature_name": "mh",
+             "user": "user", "category": "cat", "item": "item",
+             "match_type": "hit"},
+            {"feature_type": "overlap_feature", "feature_name": "ov",
+             "query": "q", "title": "t", "method": "common_word"},
+            {"feature_type": "kgb_match_semantic", "feature_name": "kgb",
+             "query": "kq", "title": "kt", "match": True},
+            {"feature_type": "preclick_urb_word_feature", "feature_name": "pw",
+             "expression": "items", "delim_item": ","},
+        ]
+    }
+    out = compile_config(config, df).collect()[0]
+    assert out["lv1"] == 8.0
+    assert out["lv1d"] == ["lv1d_k1_3", "lv1d_k2_5", "lv1d_kx_0"]
+    assert out["mh"] == "mh_catA_i1_7"
+    assert out["ov"] == 2
+    assert out["kgb"] == [f"kgb_{(1 << 56) | 100}"]
+    assert out["pw"] == ["pw_x", "pw_y", "pw_z"]
+
+
+def test_encoded_lookup_roundtrip(spark):
+    """offline encode_map -> config-driven V2/V3 probe."""
+    from featuregenerator_spark.operators.lookup_encoded import encode_map
+
+    df = spark.createDataFrame(
+        [(["a", "b"], [1.0, 2.0], ["a", "b", "z"])],
+        "mk array<string>, mv array<double>, probe array<string>",
+    ).withColumn("enc", encode_map(F.col("mk"), F.col("mv")))
+    config = {
+        "features": [
+            {"feature_type": "lookup_feature_v2", "feature_name": "v2sum",
+             "map": "enc", "key": "probe", "combiner": "sum"},
+        ]
+    }
+    out = compile_config(config, df).collect()[0]
+    assert out["v2sum"] == 3.0
