@@ -331,6 +331,66 @@ def q_top_words_per_doc(spark, sf_dir):
     return docs.select("doc_id", F.slice(tw, 1, 5).alias("top_words"))
 
 
+def q_lookup_kv_feature(spark, sf_dir):
+    """lookup_feature V1 ("k:v" string map) built from part columns; the
+    oracle recomputes the emitted key directly."""
+    from featuregenerator_spark.operators.lookup_feature import lookup_v1_discrete
+
+    part = _read(spark, sf_dir, "part")
+    kv = F.array(
+        F.concat(F.lit("size:"), F.col("p_size").cast("string")),
+        F.concat(F.lit("brand:"), F.col("p_brand")),
+    )
+    out = lookup_v1_discrete(
+        kv, F.array(F.lit("size")), "lk", need_prefix=True
+    )
+    return part.select(
+        "p_partkey", F.try_element_at(out, F.lit(1)).alias("size_key")
+    )
+
+
+def q_lookup_gap_kernel(spark, sf_dir):
+    """gap_min kernel (TimeDiffNormal of time since most recent prior
+    same-type event, window 1d, default 0) — run through the actual
+    history-array kernel; oracle = closed-form SQL window."""
+    from featuregenerator_spark.operators.lookup_array import lookup_gap
+    from featuregenerator_spark.plans.temporal import history_arrays
+
+    ev = _events(spark, sf_dir)
+    hist = history_arrays(
+        ev, "event_type", "value", conv="user_id", order_by=("ts", "event_id")
+    )
+    g = lookup_gap(
+        F.col("hist_keys"),
+        F.col("hist_values"),
+        F.col("hist_ts"),
+        F.col("ts_sec"),
+        F.array(F.col("event_type")),
+        86400.0,
+        gap="gap_min",
+        default_value=0.0,
+    )
+    return hist.select(
+        "event_id", F.try_element_at(g, F.lit(1)).alias("since_same_type")
+    )
+
+
+def q_kgb_hit_flag(spark, sf_dir):
+    """kgb packed-term bit matching: query term (cls 1)<<56|p_size, item
+    term (cls 1)<<32|(p_size%50) -> hit iff p_size < 50 (closed form)."""
+    from featuregenerator_spark.operators.kgb_match import kgb_match_terms
+
+    part = _read(spark, sf_dir, "part")
+    q = F.array((F.lit(1 << 56) + F.col("p_size").cast("long")))
+    items = F.array(
+        (F.lit(1 << 32) + F.pmod(F.col("p_size"), F.lit(50)).cast("long"))
+    )
+    hits = kgb_match_terms(q, items, "kgb", match=True, need_prefix=False)
+    return part.select(
+        "p_partkey", F.size(hits).cast("int").alias("kgb_hits")
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -549,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_zscore": q_raw_zscore,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
+        "lookup_kv_feature": q_lookup_kv_feature,
+        "lookup_gap_kernel": q_lookup_gap_kernel,
+        "kgb_hit_flag": q_kgb_hit_flag,
         "overlap_common": q_overlap_common,
         "overlap_ratio": q_overlap_ratio,
         "top_words_per_doc": q_top_words_per_doc,
@@ -671,6 +734,35 @@ def oracle_sql() -> dict[str, str]:
         "match_hit_profile": """
             SELECT c_custkey, round(round(c_acctbal, 2), 2) AS hit_value
             FROM customer""",
+        "lookup_kv_feature": """
+            SELECT p_partkey, 'lk_size_' || CAST(p_size AS VARCHAR) AS size_key
+            FROM part""",
+        "lookup_gap_kernel": """
+            WITH mr AS (
+              SELECT event_id, epoch(ts) AS now,
+                     max(epoch(ts)) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_ts
+              FROM events)
+            SELECT event_id,
+                   CAST(CASE
+                     WHEN prev_ts IS NULL OR now - prev_ts > 86400 THEN 0
+                     WHEN now - least(86400, now - prev_ts) <= 0.0001 THEN 0
+                     WHEN least(86400, now - prev_ts) <= 60 THEN 1
+                     WHEN least(86400, now - prev_ts) < 300 THEN 2
+                     WHEN least(86400, now - prev_ts) < 600 THEN 3
+                     WHEN least(86400, now - prev_ts) < 1800 THEN 4
+                     WHEN least(86400, now - prev_ts) < 3600 THEN 5
+                     WHEN least(86400, now - prev_ts) < 21600 THEN 6
+                     WHEN least(86400, now - prev_ts) < 43200 THEN 7
+                     ELSE 8 END AS DOUBLE) AS since_same_type
+            FROM mr""",
+        "kgb_hit_flag": """
+            SELECT p_partkey,
+                   CAST(CASE WHEN p_size < 50 THEN 1 ELSE 0 END AS INTEGER)
+                   AS kgb_hits
+            FROM part""",
         "overlap_common": """
             SELECT doc_id,
                    CAST((CASE WHEN list_contains(string_split(text,' '),'spark') THEN 1 ELSE 0 END)

@@ -59,15 +59,26 @@ def _noop(df) -> int:
 
 
 def run_flagship(spark, sf: str) -> tuple[float, int]:
-    """Synthetic-transcript feature pipeline; returns (sec, rows)."""
+    """Synthetic-transcript feature pipeline; returns (sec, rows).
+
+    The deterministic input table is staged to parquet once (untimed,
+    reused across runs/parallelism levels) so the timed section measures
+    the feature pipeline reading from storage — like production — and not
+    the data generator.
+    """
     from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
     from featuregenerator_spark.plans.temporal import with_ts_seconds
     from featuregenerator_spark.sources.transcripts import synth_transcripts
 
     n_convs, max_turns, skew = SF_SYNTH.get(sf, SF_SYNTH["0.1"])
-    tr = synth_transcripts(
-        spark, n_convs=n_convs, max_turns=max_turns, seed=42, skew_conv_turns=skew
-    )
+    path = f"/tmp/fg_bench_transcripts_sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tr = synth_transcripts(
+            spark, n_convs=n_convs, max_turns=max_turns, seed=42,
+            skew_conv_turns=skew,
+        )
+        tr.write.mode("overwrite").parquet(path)
+    tr = spark.read.parquet(path)
     rows = tr.count()
     t0 = time.time()
     feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
