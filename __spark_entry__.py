@@ -565,6 +565,55 @@ def q_ann_cosine_top10(spark, sf_dir):
     )
 
 
+def q_ann_lsh_top10(spark, sf_dir):
+    """Scale-path ANN: sign-bit LSH bucketing (8 hyperoctant bits from the
+    leading dimensions), probe the query bucket + Hamming-1 neighbors,
+    exact cosine only within probed buckets. Approximate by design ->
+    rows-only check; recall vs the brute-force top-10 is asserted in
+    tests. At 100 TB the bucket join replaces the full cross join."""
+    emb = _read(spark, sf_dir, "embeddings")
+    n_bits = 8
+
+    def bucket_of(col):
+        acc = F.lit(0)
+        for i in range(n_bits):
+            bit = F.when(
+                F.try_element_at(col, F.lit(i + 1)) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            acc = acc + bit
+        return acc
+
+    emb_b = emb.withColumn("bucket", bucket_of(F.col("embedding")))
+    q = emb_b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    probe_buckets = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    cand = emb_b.crossJoin(F.broadcast(q)).filter(
+        F.array_contains(probe_buckets, F.col("bucket"))
+    )
+    dsum = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dsum / (norm(F.col("embedding")) * norm(F.col("qe")))
+    return (
+        cand.select("vec_id", cos.alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("c", 3).alias("cos_sim"))
+    )
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
@@ -620,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
         "text_stats": q_text_stats,
         "topk_docs_per_lang": q_topk_docs_per_lang,
     }

@@ -35,6 +35,13 @@ def bucketize_expr(value: Column, boundaries: Sequence[float]) -> Column:
     return acc.cast("long")
 
 
+def default_bucketize_expr(boundaries: Sequence[float]) -> Column:
+    """Whole-row default fill: the bucket of value 0 — what the reference
+    emits for an entire batch when a feature can't be computed
+    (``maybeDefaultBucketize``, FeatureFunction.cpp:38-50)."""
+    return bucketize_expr(F.lit(0.0), boundaries)
+
+
 _MIN = 60.0
 _HOUR = 3600.0
 

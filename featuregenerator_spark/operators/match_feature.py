@@ -152,6 +152,24 @@ def match_cross(
     )
 
 
+def match_hit_weighting(
+    user_map: Column, category: Column, item: Column, feature_name: str
+) -> Column:
+    """hit with needWeighting: struct(key='prefix_cat_item', weight=value)
+    (MatchFunctionImpl.cpp:53-75 — key omits the value, weight carries it).
+    Null when no match."""
+    cats = _categories(user_map, category)
+    first = F.try_element_at(cats, F.lit(1))
+    val = F.try_element_at(first["value"], item)
+    return F.when(
+        val.isNotNull(),
+        F.struct(
+            F.concat_ws("_", F.lit(feature_name), first["key"], item).alias("key"),
+            val.cast("double").alias("weight"),
+        ),
+    )
+
+
 def match_cos(user_map: Column, category: Column, item_kvs: Column) -> Column:
     """cos: item ``k1:v1,k2:v2`` (int values) dot user values of category,
     scaled int(dot / (100*100*matched) * 100), truncation toward zero.
