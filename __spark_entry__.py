@@ -630,6 +630,276 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """Marker-voting language ID (n-gram heuristic) per document."""
+    from featuregenerator_spark.operators.text_analysis import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer token count."""
+    from featuregenerator_spark.operators.text_analysis import token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+
+
+def q_quality_score(spark, sf_dir):
+    from featuregenerator_spark.operators.text_analysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash (engine-portable)."""
+    from featuregenerator_spark.operators.text_analysis import rolling_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within same-label buckets (the
+    blocking key bounds the pair space; at 100 TB the label comes from an
+    LSH bucket — see minhash_lsh_candidates)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, v: a + v * v))
+    emb = emb.withColumn("n", norm)
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.3)
+
+
+def q_session_stats(spark, sf_dir):
+    """Conversation/session-level feature vectors: per-session event count,
+    duration, mean value (north_star conversation-level features)."""
+    ev = _events(spark, sf_dir)
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(_W_USER())
+    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    idx = F.sum(boundary).over(_W_USER().rowsBetween(Window.unboundedPreceding, 0))
+    s = ev.withColumn("session_idx", idx)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("ts_sec") - F.min("ts_sec"), 6).alias("duration_s"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    ).withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with tolerance (the kernel's timediff at pipeline level):
+    matches older than 1h become null."""
+    from featuregenerator_spark.plans.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .withColumn("pts", F.col("ts").cast("timestamp").cast("double"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts_sec"),
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="pts",
+        value_cols=["pv"],
+        strict=True,
+        tolerance=3600.0,
+    )
+    return joined.select(
+        "event_id", F.round("pv", 4).alias("pv_1h")
+    )
+
+
+def q_match_multihit(spark, sf_dir):
+    """match_feature multihit with double wildcard over a two-category
+    profile built from customer columns."""
+    from featuregenerator_spark.operators.match_feature import (
+        match_multihit_sparse,
+        parse_user_info,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.lit("seg^"), F.col("c_mktsegment"), F.lit(":1|nat^n"),
+        F.col("c_nationkey").cast("string"), F.lit(":2"),
+    )
+    m = parse_user_info(profile)
+    keys = match_multihit_sparse(m, F.lit("ALL"), F.lit("ALL"), "mh")
+    return cust.select("c_custkey", keys.alias("mh_keys"))
+
+
+def q_match_cos(spark, sf_dir):
+    """match_feature cos: int dot product of item k:v list vs user dict,
+    scaled int(dot/(100*100*matched)*100) — values chosen so the float32
+    scaling is exact (oracle-portable)."""
+    from featuregenerator_spark.operators.match_feature import (
+        match_cos,
+        parse_user_info,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    m = parse_user_info(F.lit("seg^a:100,b:50"))
+    # values are dyadic multiples of the 1/20000 scale factor, so the f32
+    # scaling arithmetic is exact and the oracle's double math agrees
+    item = F.concat(
+        F.lit("a:"), (F.pmod(F.col("c_custkey"), F.lit(2)) * 50).cast("string"),
+        F.lit(",b:"), (F.pmod(F.col("c_custkey"), F.lit(4)) * 25).cast("string"),
+    )
+    return cust.select(
+        "c_custkey", match_cos(m, F.lit("seg"), item).alias("cos_scaled")
+    )
+
+
+def q_combo_multivalue(spark, sf_dir):
+    """combo_feature over array inputs: words of p_type (pruned to first 2)
+    x [p_brand] -> cartesian keys."""
+    from featuregenerator_spark.operators.combo_feature import combo_feature_multi
+
+    part = _read(spark, sf_dir, "part")
+    keys = combo_feature_multi(
+        [F.split(F.col("p_type"), " "), F.array(F.col("p_brand"))],
+        "cm",
+        prune_limits=[2, None],
+    )
+    return part.select("p_partkey", keys.alias("combo_keys"))
+
+
+def q_lookup_v2_hashed(spark, sf_dir):
+    """lookup_feature_v2 semantics: offline encode (key->hash64(key) map),
+    online probe + sum combine. The hash is internal (hash(k)==hash(p) iff
+    k==p), so the oracle is the plain closed-form lookup."""
+    from featuregenerator_spark.operators.lookup_encoded import (
+        encode_map,
+        lookup_encoded_scalar,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    enc = encode_map(
+        F.array(F.lit("price"), F.lit("size")),
+        F.array(F.col("p_retailprice"), F.col("p_size").cast("double")),
+    )
+    v = lookup_encoded_scalar(
+        enc, F.array(F.lit("price"), F.lit("size"), F.lit("missing")), "sum"
+    )
+    return part.select("p_partkey", F.round(v, 4).alias("v2_sum"))
+
+
+def q_lookup_v3_multidim(spark, sf_dir):
+    """lookup_feature_v3 semantics: map<hash,array<float>> probe with
+    element-wise sum per dimension (value_dimension=2)."""
+    from featuregenerator_spark.operators.lookup_encoded import (
+        encode_map,
+        lookup_encoded_multidim,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    enc = encode_map(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(
+            F.array(F.col("p_retailprice"), F.col("p_size").cast("double")),
+            F.array(F.col("p_size").cast("double") * 2, F.lit(1.0)),
+        ),
+    )
+    v = lookup_encoded_multidim(enc, F.array(F.lit("a"), F.lit("b"), F.lit("x")), 2, "sum")
+    return part.select(
+        "p_partkey",
+        F.transform(v, lambda x: F.round(x, 4)).alias("v3_dims"),
+    )
+
+
+def q_overlap_diff(spark, sf_dir):
+    """overlap_feature diff_word / hit_ornot / is_equal trio."""
+    from featuregenerator_spark.operators.overlap_feature import overlap_feature
+
+    docs = _docs(spark, sf_dir)
+    qtok = F.array(F.lit("spark"), F.lit("join"), F.lit("scan"), F.lit("window"))
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        overlap_feature(qtok, toks, "diff_word").cast("int").alias("diff_words"),
+        overlap_feature(qtok, toks, "hit_ornot").cast("int").alias("hit"),
+        overlap_feature(qtok, toks, "is_equal").cast("int").alias("eq"),
+    )
+
+
+def q_preclick_match_count(spark, sf_dir):
+    """preclick_urb need_match mode: top-20 doc words intersected with a
+    match-word set, output the hit count (output_count, capped at 20)."""
+    from featuregenerator_spark.operators.preclick_urb import top_words
+
+    docs = _docs(spark, sf_dir)
+    tw = top_words(F.array(F.col("text")), "w", need_prefix=False, delim_item=" ")
+    match_set = F.array(
+        F.lit("table"), F.lit("join"), F.lit("row"), F.lit("the"), F.lit("value")
+    )
+    hits = F.array_intersect(F.slice(tw, 1, 20), match_set)
+    return docs.select(
+        "doc_id", F.least(F.size(hits), F.lit(20)).cast("int").alias("match_cnt")
+    )
+
+
+def q_id_feature_multivalue(spark, sf_dir):
+    """id_feature on a multi-value input: tokens of p_name, invalid-value
+    blacklist, prune_to=3, prefixed keys."""
+    from featuregenerator_spark.operators.id_feature import id_feature_multi
+    from pyspark.sql import types as T
+
+    part = _read(spark, sf_dir, "part")
+    keys = id_feature_multi(
+        F.split(F.col("p_name"), " "),
+        "nm",
+        T.StringType(),
+        invalid_values=["of", "the"],
+        prune_to=3,
+    )
+    return part.select("p_partkey", keys.alias("name_keys"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents' text bytes as opaque
+    binary payloads -> Arrow mapInPandas feature extraction. The byte
+    length and payload hash are oracle-checked; the (stubbed) decode
+    vector is covered in tests."""
+    from featuregenerator_spark.operators.multimodal import decode_assets
+
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    feats = decode_assets(assets)
+    return feats.select("asset_id", "kind", "n_bytes", "payload_hash")
+
+
 def q_topk_docs_per_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -672,6 +942,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": q_ann_lsh_top10,
         "text_stats": q_text_stats,
         "topk_docs_per_lang": q_topk_docs_per_lang,
+        "lang_id_ngram": q_lang_id,
+        "token_count_regex": q_token_count_regex,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "neardup_cosine": q_neardup_cosine,
+        "session_stats": q_session_stats,
+        "asof_tolerance_1h": q_asof_tolerance,
+        "match_multihit": q_match_multihit,
+        "match_cos": q_match_cos,
+        "combo_multivalue": q_combo_multivalue,
+        "lookup_v2_hashed": q_lookup_v2_hashed,
+        "lookup_v3_multidim": q_lookup_v3_multidim,
+        "overlap_diff": q_overlap_diff,
+        "preclick_match_count": q_preclick_match_count,
+        "id_feature_multivalue": q_id_feature_multivalue,
+        "multimodal_decode": q_multimodal_decode,
     }
 
     def wrap(fn):
@@ -886,4 +1172,143 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents)
             WHERE rn <= 3""",
+        "lang_id_ngram": """
+            WITH h AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text,' '),
+                    t -> list_contains(['the','a','of','and'], t))) AS en,
+                len(list_filter(string_split(text,' '),
+                    t -> list_contains(['der','die','das','und'], t))) AS de,
+                len(list_filter(string_split(text,' '),
+                    t -> list_contains(['le','la','les','et'], t))) AS fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(en,de,fr) = 0 THEN 'und'
+                        WHEN en = greatest(en,de,fr) THEN 'en'
+                        WHEN de = greatest(en,de,fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM h""",
+        "token_count_regex": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_tok
+            FROM documents""",
+        "quality_score": """
+            WITH s AS (
+              SELECT doc_id,
+                CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                CAST(len(list_filter(string_split(text,' '),
+                     t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) AS stop,
+                CAST(length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                     AS DOUBLE) AS punct,
+                CAST(length(text) AS DOUBLE) AS chars
+              FROM documents)
+            SELECT doc_id,
+                   round(0.4 * least(1.0, n/64.0)
+                       + 0.3 * least(1.0, 4.0*stop/n)
+                       + 0.3 * (1.0 - least(1.0, 4.0*punct/chars)), 6) AS quality
+            FROM s""",
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text,' '),
+                         t -> CAST(length(t)*17 + ascii(t) AS BIGINT))),
+                     (a, b) -> (a*31 + b) % 1000000007) AS fp
+            FROM documents""",
+        "neardup_cosine": """
+            WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+            FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3""",
+        "session_stats": f"""
+            WITH s AS (
+              SELECT user_id, value, epoch(ts) AS tsec,
+                     sum(CASE WHEN g IS NULL OR g > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_idx
+              FROM (SELECT *, {gap} AS g FROM events))
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   round(max(tsec) - min(tsec), 6) AS duration_s,
+                   round(avg(value), 4) AS avg_value
+            FROM s GROUP BY user_id, session_idx""",
+        "asof_tolerance_1h": """
+            SELECT e.event_id,
+                   round(CASE WHEN epoch(e.ts) - epoch(p.ts) <= 3600
+                              THEN p.pv END, 4) AS pv_1h
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS pv FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
+        "match_multihit": """
+            SELECT c_custkey,
+                   ['mh_seg_' || c_mktsegment || '_1',
+                    'mh_nat_n' || CAST(c_nationkey AS VARCHAR) || '_2']
+                   AS mh_keys
+            FROM customer""",
+        "match_cos": """
+            SELECT c_custkey,
+                   CAST(trunc(25.0*(c_custkey % 2) + 6.25*(c_custkey % 4))
+                        AS BIGINT) AS cos_scaled
+            FROM customer""",
+        "combo_multivalue": """
+            SELECT p_partkey,
+                   list_transform(string_split(p_type,' ')[1:2],
+                     w -> 'cm_' || w || '_' || p_brand) AS combo_keys
+            FROM part""",
+        "lookup_v2_hashed": """
+            SELECT p_partkey, round(p_retailprice + p_size, 4) AS v2_sum
+            FROM part""",
+        "lookup_v3_multidim": """
+            SELECT p_partkey,
+                   [round(p_retailprice + 2.0*p_size, 4),
+                    round(p_size + 1.0, 4)] AS v3_dims
+            FROM part""",
+        "overlap_diff": """
+            SELECT doc_id,
+              CAST((CASE WHEN NOT list_contains(string_split(text,' '),'spark') THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT list_contains(string_split(text,' '),'join') THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT list_contains(string_split(text,' '),'scan') THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT list_contains(string_split(text,' '),'window') THEN 1 ELSE 0 END)
+                   AS INTEGER) AS diff_words,
+              CAST(CASE WHEN list_contains(string_split(text,' '),'spark')
+                          OR list_contains(string_split(text,' '),'join')
+                          OR list_contains(string_split(text,' '),'scan')
+                          OR list_contains(string_split(text,' '),'window')
+                        THEN 1 ELSE 0 END AS INTEGER) AS hit,
+              CAST(CASE WHEN string_split(text,' ') = ['spark','join','scan','window']
+                        THEN 1 ELSE 0 END AS INTEGER) AS eq
+            FROM documents""",
+        "preclick_match_count": """
+            WITH wc AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                    FROM documents)
+              GROUP BY doc_id, word),
+            tw AS (
+              SELECT doc_id, list(word ORDER BY cnt DESC, word ASC)[1:20] AS top
+              FROM wc GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(least(len(list_intersect(top,
+                        ['table','join','row','the','value'])), 20) AS INTEGER)
+                   AS match_cnt
+            FROM tw""",
+        "id_feature_multivalue": """
+            SELECT p_partkey,
+                   list_transform(
+                     (list_filter(string_split(p_name,' '),
+                        t -> NOT list_contains(['of','the'], t)))[1:3],
+                     t -> 'nm_' || t) AS name_keys
+            FROM part""",
+        "multimodal_decode": """
+            SELECT doc_id AS asset_id, 'image' AS kind,
+                   CAST(strlen(text) AS INTEGER) AS n_bytes,
+                   md5(text) AS payload_hash
+            FROM documents""",
     }

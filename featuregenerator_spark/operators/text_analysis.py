@@ -1,0 +1,96 @@
+"""Text-analysis kernels for training-data pipelines.
+
+These are the engine's document-level operators (language-ID, token
+counting, quality scoring, fingerprinting) — first-class components of a
+100 TB curation pipeline. All are pure Column expressions (whole-stage
+codegen; no Python in the hot path) and deterministic, so every one has a
+closed-form SQL oracle.
+
+The reference has no direct analogue (fg_lite is a per-row kernel library
+for ranking features); these lift the same "declare a feature over a
+column" style (SingleFeatureConfig -> Column, SURVEY.md §3.1) onto
+document curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# word-token pattern: letter runs, digit runs, or single punctuation —
+# a BPE-ish pre-tokenizer split (same regex dialect in Java and RE2).
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# tiny per-language marker sets (n-gram heuristic stand-in; the real list
+# would be the top-k stopwords per language).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def token_count(text: Column) -> Column:
+    """#tokens under the BPE-ish regex pre-tokenizer (int)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)).cast("int")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    marr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Marker-voting language ID: language with the most marker hits;
+    deterministic tie-break by the LANG_MARKERS declaration order;
+    ``default`` when no marker hits at all."""
+    toks = F.split(text, " ")
+    hits = {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit(default)
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality score from length / punctuation /
+    stopword ratios (the usual cheap pre-filter before model scoring):
+
+        0.4 * min(1, n_tokens/64)            # enough content
+      + 0.3 * min(1, 4 * stop_ratio)         # looks like prose
+      + 0.3 * (1 - min(1, 4 * punct_ratio))  # not symbol soup
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks).cast("double")
+    stop = _marker_hits(toks, STOPWORDS).cast("double")
+    punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^A-Za-z0-9 ]", "")
+    )
+    length_part = F.least(F.lit(1.0), n / 64.0)
+    stop_part = F.least(F.lit(1.0), 4.0 * stop / n)
+    punct_part = 1.0 - F.least(F.lit(1.0), 4.0 * punct.cast("double") / F.length(text))
+    return 0.4 * length_part + 0.3 * stop_part + 0.3 * punct_part
+
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens (document
+    fingerprint): fold ``acc = (acc*31 + tokcode) mod p`` where
+    ``tokcode = length(tok)*17 + ascii(first_char)``. Stays in BIGINT the
+    whole way (max acc*31 + code < 2^35), identical arithmetic in any SQL
+    engine — unlike md5/xxhash this is engine-portable."""
+    toks = F.split(text, " ")
+    codes = F.transform(
+        toks, lambda t: (F.length(t) * 17 + F.ascii(t)).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
+    )
