@@ -38,7 +38,10 @@ def build_turn_features(
 ) -> DataFrame:
     """transcripts -> per-turn feature DataFrame (the flagship query)."""
     df = temporal.with_ts_seconds(transcripts)
-    df = repartition_for_windows(df, num_partitions)
+    # sort order chosen to match the window stages below (one shared sort)
+    df = repartition_for_windows(
+        df, num_partitions, order_by=(temporal.TS_SEC, temporal.TURN)
+    )
 
     # --- scalar kernels (id_feature / raw_feature semantics) -------------
     df = df.withColumn(
@@ -57,7 +60,16 @@ def build_turn_features(
     )
 
     # --- temporal lifts ---------------------------------------------------
-    df = temporal.with_gap(df)
+    # One sort serves every window stage: ordering (ts_sec, turn_idx) is
+    # the as-of order (time first, stable turn tiebreak); the range-frame
+    # windows need only the (conv_id, ts_sec) prefix of it, so Catalyst
+    # plans a single Sort after the single conv_id Exchange instead of
+    # re-sorting between row-frame and range-frame stages. On well-formed
+    # transcripts (ts non-decreasing per conv) this is identical to
+    # (turn_idx, ts) ordering; under dirty timestamps it is the ordering
+    # that keeps point-in-time semantics (never read the future).
+    order_by = (temporal.TS_SEC, temporal.TURN)
+    df = temporal.with_gap(df, order_by=order_by)
     df = df.withColumn("gap_bucket", F.coalesce(F.col("gap_bucket"), F.lit(8)))
     for w_s in rolling_windows:
         tag = f"{int(w_s)}s"
@@ -82,7 +94,7 @@ def build_turn_features(
         gap="gap_min",
         default_value=0.0,
     )
-    df = temporal.sessionize(df, session_gap)
+    df = temporal.sessionize(df, session_gap, order_by=order_by)
 
     # --- as-of snapshot backfill -----------------------------------------
     if snapshots is not None:

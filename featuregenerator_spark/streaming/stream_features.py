@@ -82,6 +82,66 @@ def session_aggregates(
     )
 
 
+SNAPSHOT_STATE_DDL = "n_turns long, last_ts double"
+SNAPSHOT_OUT_DDL = (
+    "conv_id string, turn_idx int, n_prior_turns long, gap_seconds double"
+)
+
+
+def running_snapshot_features(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-
+    conversation running feature snapshot (prior-turn count + gap to the
+    previous turn), carried across micro-batches.
+
+    This is the streaming analogue of the batch as-of/backfill lift —
+    state is the "latest feature snapshot" each new turn joins against.
+    Turns inside a batch are processed in (turn_idx, ts) order; state is
+    (n_turns_seen, last_ts). Output is one row per input turn, exactly
+    matching plans/temporal.py's with_gap + rolling count over an
+    unbounded window for in-order data.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        if state.exists:
+            n_turns, last_ts = state.get
+        else:
+            n_turns, last_ts = 0, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["turn_idx", "ts"])
+            ts_sec = pdf["ts"].map(lambda t: t.timestamp())
+            prior = n_turns + pd.RangeIndex(len(pdf))
+            prev_ts = ts_sec.shift(1)
+            if last_ts is not None:
+                prev_ts.iloc[0] = last_ts
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": pdf["turn_idx"],
+                        "n_prior_turns": prior,
+                        "gap_seconds": ts_sec - prev_ts,
+                    }
+                )
+            )
+            n_turns += len(pdf)
+            last_ts = float(ts_sec.iloc[-1]) if len(pdf) else last_ts
+        state.update((n_turns, last_ts))
+        yield from out
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=SNAPSHOT_OUT_DDL,
+        stateStructType=SNAPSHOT_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str):
     """Drive a bounded source to completion synchronously (tests/smoke)."""
     q = (
