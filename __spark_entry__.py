@@ -900,6 +900,128 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("asset_id", "kind", "n_bytes", "payload_hash")
 
 
+def q_config_compiled(spark, sf_dir):
+    """The declarative surface end-to-end: JSON FeatureConfig -> compiled
+    single select() (id + raw-bucketize + combo in one Catalyst plan)."""
+    from featuregenerator_spark.spec import compile_config
+
+    ev = _events(spark, sf_dir)
+    cfg = {
+        "features": [
+            {"feature_type": "id_feature", "feature_name": "et",
+             "expression": "event_type"},
+            {"feature_type": "raw_feature", "feature_name": "vb",
+             "expression": "value", "bucketize_boundaries": [10.0, 50.0, 100.0]},
+            {"feature_type": "combo_feature", "feature_name": "cb",
+             "expressions": ["event_type", "user_id"]},
+        ]
+    }
+    out = compile_config(cfg, ev)
+    return out.select("event_id", "et", F.col("vb").cast("long").alias("vb"), "cb")
+
+
+def q_raw_multivalue_pad(spark, sf_dir):
+    """raw_feature on a multi-value input: per-word lengths of p_name,
+    cleaned and padded to value_dimension=4 (RawFeatureFunction pad)."""
+    from featuregenerator_spark.operators.raw_feature import raw_feature_multi
+
+    part = _read(spark, sf_dir, "part")
+    lens = F.transform(F.split(F.col("p_name"), " "), lambda w: F.length(w).cast("double"))
+    out = raw_feature_multi(lens, value_dimension=4)
+    return part.select("p_partkey", out.alias("len_vec"))
+
+
+def q_lookup_combo_counts(spark, sf_dir):
+    """needCombo kernel: two windowed history counts concatenated
+    cnt1_cnt2 (Impl.h:155-212); history arrays built from part columns so
+    the oracle is closed-form."""
+    from featuregenerator_spark.operators.lookup_array import lookup_combo_counts
+
+    part = _read(spark, sf_dir, "part")
+    pv = F.lit(10000.0)
+    out = lookup_combo_counts(
+        map_keys=F.array(F.lit("a"), F.lit("a")),
+        map_values=F.array(F.lit(1.0), F.lit(1.0)),
+        value_ts=F.array(pv - 10.0, pv - F.col("p_size").cast("double") * 100.0),
+        map2_keys=F.array(F.lit("a")),
+        map2_values=F.array(F.lit(1.0)),
+        value2_ts=F.array(pv - 100.0),
+        pvtime=pv,
+        keys=F.array(F.lit("a")),
+        timediff=3600.0,
+        feature_name="pc",
+    )
+    return part.select("p_partkey", out.alias("combo_key"))
+
+
+def q_preclick_match_words(spark, sf_dir):
+    """preclick need_match mode with key output: top-20 doc words hit
+    against the match set, prefixed."""
+    from featuregenerator_spark.operators.preclick_urb import match_words
+
+    docs = _docs(spark, sf_dir)
+    out = match_words(
+        F.array(F.col("text")),
+        F.array(F.lit("table join row the value")),
+        "pm",
+        delim_item=" ",
+    )
+    return docs.select("doc_id", out.alias("hit_keys"))
+
+
+def q_match_cross(spark, sf_dir):
+    """match_feature cross: user keys of the category x item value."""
+    from featuregenerator_spark.operators.match_feature import (
+        match_cross,
+        parse_user_info,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    m = parse_user_info(F.lit("seg^x:1,y:2"))
+    out = match_cross(m, F.lit("seg"), F.col("c_mktsegment"), "mc")
+    return cust.select("c_custkey", out.alias("cross_keys"))
+
+
+def q_lookup_v1_weighting(spark, sf_dir):
+    """lookup_feature needWeighting: (key, weight) pair outputs, projected
+    to parallel arrays for oracle comparison."""
+    from featuregenerator_spark.operators.lookup_feature import lookup_v1_weighting
+
+    part = _read(spark, sf_dir, "part")
+    kv = F.array(
+        F.concat(F.lit("size:"), F.col("p_size").cast("string")),
+        F.concat(F.lit("brand:"), F.col("p_brand")),
+    )
+    out = lookup_v1_weighting(kv, F.array(F.lit("size"), F.lit("nope")), "lw")
+    return part.select(
+        "p_partkey",
+        F.transform(out, lambda s: s["key"]).alias("w_keys"),
+        F.transform(out, lambda s: s["weight"]).alias("w_vals"),
+    )
+
+
+def q_normalizer_log10(spark, sf_dir):
+    from featuregenerator_spark.functions.normalizers import parse_normalizer
+    from featuregenerator_spark.operators.raw_feature import raw_feature_scalar
+
+    orders = _read(spark, sf_dir, "orders")
+    n = parse_normalizer("method=log10,threshold=100.0,default=-1.0")
+    out = raw_feature_scalar(F.col("o_totalprice"), n)
+    return orders.select("o_orderkey", F.round(out, 6).alias("log_price"))
+
+
+def q_normalizer_minmax(spark, sf_dir):
+    from featuregenerator_spark.functions.normalizers import parse_normalizer
+    from featuregenerator_spark.operators.raw_feature import raw_feature_scalar
+
+    li = _read(spark, sf_dir, "lineitem")
+    n = parse_normalizer("method=minmax,min=1.0,max=50.0")
+    out = raw_feature_scalar(F.col("l_quantity"), n)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(out, 6).alias("qty_mm")
+    )
+
+
 def q_topk_docs_per_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -958,6 +1080,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preclick_match_count": q_preclick_match_count,
         "id_feature_multivalue": q_id_feature_multivalue,
         "multimodal_decode": q_multimodal_decode,
+        "config_compiled": q_config_compiled,
+        "raw_multivalue_pad": q_raw_multivalue_pad,
+        "lookup_combo_counts": q_lookup_combo_counts,
+        "preclick_match_words": q_preclick_match_words,
+        "match_cross": q_match_cross,
+        "lookup_v1_weighting": q_lookup_v1_weighting,
+        "normalizer_log10": q_normalizer_log10,
+        "normalizer_minmax": q_normalizer_minmax,
     }
 
     def wrap(fn):
@@ -1311,4 +1441,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    md5(text) AS payload_hash
             FROM documents""",
+        "config_compiled": """
+            SELECT event_id,
+                   'et_' || event_type AS et,
+                   CAST((CASE WHEN value >= 10 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 50 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+                   'cb_' || event_type || '_' || CAST(user_id AS VARCHAR) AS cb
+            FROM events""",
+        "raw_multivalue_pad": """
+            SELECT p_partkey,
+                   list_transform([1,2,3,4],
+                     i -> coalesce(CAST(length(string_split(p_name,' ')[i])
+                                        AS DOUBLE), 0.0)) AS len_vec
+            FROM part""",
+        "lookup_combo_counts": """
+            SELECT p_partkey,
+                   'pc_' || CAST(CASE WHEN p_size*100.0 <= 3600 THEN 2 ELSE 1 END
+                                 AS VARCHAR) || '_1' AS combo_key
+            FROM part""",
+        "preclick_match_words": """
+            WITH wc AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                    FROM documents)
+              GROUP BY doc_id, word),
+            tw AS (
+              SELECT doc_id, list(word ORDER BY cnt DESC, word ASC)[1:20] AS top
+              FROM wc GROUP BY doc_id)
+            SELECT doc_id,
+                   list_transform(
+                     (list_filter(top, w -> list_contains(
+                        ['table','join','row','the','value'], w)))[1:20],
+                     w -> 'pm_' || w) AS hit_keys
+            FROM tw""",
+        "match_cross": """
+            SELECT c_custkey,
+                   ['mc_seg_x_' || c_mktsegment,
+                    'mc_seg_y_' || c_mktsegment] AS cross_keys
+            FROM customer""",
+        "lookup_v1_weighting": """
+            SELECT p_partkey, ['lw_size'] AS w_keys,
+                   [CAST(p_size AS DOUBLE)] AS w_vals
+            FROM part""",
+        "normalizer_log10": """
+            SELECT o_orderkey,
+                   round(CASE WHEN o_totalprice > 100.0 THEN log10(o_totalprice)
+                              ELSE -1.0 END, 6) AS log_price
+            FROM orders""",
+        "normalizer_minmax": """
+            SELECT l_orderkey, l_linenumber,
+                   round((l_quantity - 1.0) / 49.0, 6) AS qty_mm
+            FROM lineitem""",
     }
