@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These pin the plan shape so regressions that silently add shuffles/sorts
+or break pushdown fail CI, not a 100 TB run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tr")
+    transcripts.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_flagship_single_exchange_single_sort(parquet_transcripts):
+    from featuregenerator_spark.plans.pipeline import (
+        FEATURE_COLUMNS,
+        build_turn_features,
+    )
+    from featuregenerator_spark.plans.temporal import with_ts_seconds
+
+    feat = build_turn_features(with_ts_seconds(parquet_transcripts)).select(
+        *FEATURE_COLUMNS
+    )
+    plan = _executed(feat)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+
+
+def test_filter_and_column_pushdown(spark, parquet_transcripts):
+    df = parquet_transcripts.filter(F.col("role") == "tool").select(
+        "conv_id", "turn_idx"
+    )
+    plan = _executed(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan, plan
+    # pruned scan: text/ts must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "ts" not in read_schema, read_schema
+
+
+def test_broadcast_join_for_small_dim(spark):
+    big = spark.range(100000).select(F.col("id"), (F.col("id") % 100).alias("k"))
+    small = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    joined = big.join(F.broadcast(small), "k")
+    assert "BroadcastHashJoin" in _executed(joined)
+
+
+def test_asof_join_single_shuffle(spark, transcripts, tmp_path):
+    from featuregenerator_spark.plans.temporal import asof_join, with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import synth_snapshots
+
+    # parquet-backed inputs so the synth generator's own window exchange
+    # doesn't appear inside the measured plan
+    transcripts.write.mode("overwrite").parquet(str(tmp_path / "tr"))
+    synth_snapshots(spark, transcripts).write.mode("overwrite").parquet(
+        str(tmp_path / "sn")
+    )
+    tr = with_ts_seconds(spark.read.parquet(str(tmp_path / "tr")))
+    snaps = spark.read.parquet(str(tmp_path / "sn")).withColumn(
+        "snap_ts", F.col("snap_ts").cast("double")
+    )
+    out = asof_join(
+        tr, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+        value_cols=["feature_state"],
+    )
+    plan = _executed(out)
+    # union + one window partitioned on conv_id: ONE hash exchange and one
+    # sort for the whole as-of join; no pairwise join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_two_phase(spark, transcripts):
+    from featuregenerator_spark.plans.partitioning import salted_agg
+
+    out = salted_agg(
+        transcripts,
+        "conv_id",
+        {"n": ("turn_idx", "count")},
+        n_salts=8,
+        salt_cols=("turn_idx",),
+    )
+    plan = _executed(out)
+    # partial agg on (key, salt), final on key: two hash aggregates around
+    # an exchange that includes the salt column
+    assert "__salt" in plan
+    assert plan.count("HashAggregate") >= 2
