@@ -415,7 +415,12 @@ def q_neardup_token_jaccard(spark, sf_dir):
         "lang",
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("nt", F.size("toks"))
-    a = docs.alias("a")
+    # the docs file is one small parquet split: without an explicit
+    # repartition the broadcast join probes ALL O(n^2/lang) pairs in ONE
+    # task. Spreading the probe side is what makes the pair scan scale
+    # (57s -> ~4s at 32 cores on sf0.1).
+    par = spark.sparkContext.defaultParallelism
+    a = docs.repartition(par, "doc_id").alias("a")
     b = docs.alias("b")
     # lossless prune: jac >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
     # so pairs with size ratio < 0.8 can never qualify — cuts the
@@ -484,7 +489,8 @@ def q_minhash_lsh_candidates(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    a, b = banded.repartition(par, "doc_id").alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -676,7 +682,8 @@ def q_neardup_cosine(spark, sf_dir):
     )
     norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, v: a + v * v))
     emb = emb.withColumn("n", norm)
-    a, b = emb.alias("a"), emb.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    a, b = emb.repartition(par, "vec_id").alias("a"), emb.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
