@@ -1029,6 +1029,86 @@ def q_normalizer_minmax(spark, sf_dir):
     )
 
 
+def q_overlap_divided(spark, sf_dir):
+    """overlap sparse *_divided variants: participating tokens joined by
+    '_' as one feature key."""
+    from featuregenerator_spark.operators.overlap_feature import overlap_feature_sparse
+
+    docs = _docs(spark, sf_dir)
+    qtok = F.array(F.lit("spark"), F.lit("join"), F.lit("scan"), F.lit("window"))
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        overlap_feature_sparse(qtok, toks, "common_word_divided", "ov").alias(
+            "common_key"
+        ),
+        overlap_feature_sparse(qtok, toks, "diff_word_divided", "dv").alias(
+            "diff_key"
+        ),
+    )
+
+
+def q_kgb_grouped_bytes(spark, sf_dir):
+    """kgb as_bytes mode: per-class matched-term concatenation joined by
+    ';' (class 0 matches iff p_size even; class 1 always matches)."""
+    from featuregenerator_spark.operators.kgb_match import kgb_match_bytes
+
+    part = _read(spark, sf_dir, "part")
+    sz = F.col("p_size").cast("long")
+    q = F.array(
+        sz,                                    # class 0 term, value p_size
+        F.lit(1 << 56) + F.pmod(sz, F.lit(7)),  # class 1 term
+    )
+    items = F.when(
+        F.pmod(sz, F.lit(2)) == 0,
+        F.array(sz, F.lit(1 << 32) + F.pmod(sz, F.lit(7))),
+    ).otherwise(F.array(F.lit(1 << 32) + F.pmod(sz, F.lit(7))))
+    out = kgb_match_bytes(q, items, "kb", match=True)
+    return part.select("p_partkey", out.alias("grouped"))
+
+
+def q_kgb_hit_ret(spark, sf_dir):
+    """kgb need_hit_ret: brand-class 3-state code comboed with other ids
+    (brand matches iff p_size < 25)."""
+    from featuregenerator_spark.operators.kgb_match import kgb_hit_ret
+
+    part = _read(spark, sf_dir, "part")
+    sz = F.col("p_size").cast("long")
+    brand_q = F.array(F.lit(3 << 56) + F.pmod(sz, F.lit(10)))
+    items = F.when(
+        sz < 25, F.array(F.lit(3 << 32) + F.pmod(sz, F.lit(10)))
+    ).otherwise(F.array(F.lit(3 << 32) + F.pmod(sz, F.lit(10)) + 100))
+    out = kgb_hit_ret(
+        brand_q, items, "kr", other_ids=F.array(F.lit("x"), F.col("p_brand"))
+    )
+    return part.select("p_partkey", out.alias("hit_keys"))
+
+
+def q_lookup_gap_max(spark, sf_dir):
+    """gap_max kernel: TimeDiffNormal of time since the OLDEST prior
+    same-type event inside the 1d window (Impl.h gap_max init 0)."""
+    from featuregenerator_spark.operators.lookup_array import lookup_gap
+    from featuregenerator_spark.plans.temporal import history_arrays
+
+    ev = _events(spark, sf_dir)
+    hist = history_arrays(
+        ev, "event_type", "value", conv="user_id", order_by=("ts", "event_id")
+    )
+    g = lookup_gap(
+        F.col("hist_keys"),
+        F.col("hist_values"),
+        F.col("hist_ts"),
+        F.col("ts_sec"),
+        F.array(F.col("event_type")),
+        86400.0,
+        gap="gap_max",
+        default_value=0.0,
+    )
+    return hist.select(
+        "event_id", F.try_element_at(g, F.lit(1)).alias("since_oldest_same_type")
+    )
+
+
 def q_topk_docs_per_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -1095,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
         "normalizer_minmax": q_normalizer_minmax,
+        "overlap_divided": q_overlap_divided,
+        "kgb_grouped_bytes": q_kgb_grouped_bytes,
+        "kgb_hit_ret_combo": q_kgb_hit_ret,
+        "lookup_gap_max_kernel": q_lookup_gap_max,
     }
 
     def wrap(fn):
@@ -1500,4 +1584,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    round((l_quantity - 1.0) / 49.0, 6) AS qty_mm
             FROM lineitem""",
+        "overlap_divided": """
+            SELECT doc_id,
+                   'ov_' || coalesce(array_to_string(
+                     list_filter(['spark','join','scan','window'],
+                       t -> list_contains(string_split(text,' '), t)), '_'), '')
+                   AS common_key,
+                   'dv_' || coalesce(array_to_string(
+                     list_filter(['spark','join','scan','window'],
+                       t -> NOT list_contains(string_split(text,' '), t)), '_'), '')
+                   AS diff_key
+            FROM documents""",
+        "kgb_grouped_bytes": """
+            SELECT p_partkey,
+                   'kb_' || CASE WHEN p_size % 2 = 0
+                     THEN CAST(p_size AS VARCHAR) || ';'
+                          || CAST(72057594037927936 + p_size % 7 AS VARCHAR)
+                          || ';;'
+                     ELSE CAST(72057594037927936 + p_size % 7 AS VARCHAR)
+                          || ';;'
+                   END AS grouped
+            FROM part""",
+        "kgb_hit_ret_combo": """
+            SELECT p_partkey,
+                   ['kr_' || c || '_x', 'kr_' || c || '_' || p_brand]
+                   AS hit_keys
+            FROM (SELECT p_partkey, p_brand,
+                         CASE WHEN p_size < 25 THEN '0' ELSE '1' END AS c
+                  FROM part)""",
+        "lookup_gap_max_kernel": """
+            WITH w AS (
+              SELECT event_id, epoch(ts) AS now,
+                     min(epoch(ts)) OVER (PARTITION BY user_id, event_type
+                          ORDER BY epoch(ts)
+                          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+                     AS min_ts,
+                     count(*) OVER (PARTITION BY user_id, event_type
+                          ORDER BY epoch(ts)
+                          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) - 1
+                     AS n_prior
+              FROM events)
+            SELECT event_id,
+                   CAST(CASE
+                     WHEN n_prior = 0 THEN 0
+                     WHEN now - (now - min_ts) <= 0.0001 THEN 0
+                     WHEN now - min_ts <= 60 THEN 1
+                     WHEN now - min_ts < 300 THEN 2
+                     WHEN now - min_ts < 600 THEN 3
+                     WHEN now - min_ts < 1800 THEN 4
+                     WHEN now - min_ts < 3600 THEN 5
+                     WHEN now - min_ts < 21600 THEN 6
+                     WHEN now - min_ts < 43200 THEN 7
+                     ELSE 8 END AS DOUBLE) AS since_oldest_same_type
+            FROM w""",
     }

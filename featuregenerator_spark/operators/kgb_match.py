@@ -94,11 +94,17 @@ def kgb_match_bytes(
     pred = (lambda q: _hit(q, valid_items)) if match else (
         lambda q: ~_hit(q, valid_items)
     )
+    def class_filter(c: int):
+        # single-arg closure: a 2-arg lambda (`lambda q, c=cls`) would make
+        # F.filter pass the ELEMENT INDEX as the second argument,
+        # silently replacing the class constant
+        return lambda q: (_qcls(q) == c) & pred(q)
+
     acc = F.lit("")
     for cls in range(CLASS_MAX_SIZE):
         seg = F.array_join(
             F.transform(
-                F.filter(q_terms, lambda q, c=cls: (_qcls(q) == c) & pred(q)),
+                F.filter(q_terms, class_filter(cls)),
                 lambda t: t.cast("string"),
             ),
             "",
