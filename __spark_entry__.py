@@ -572,30 +572,52 @@ def q_ann_cosine_top10(spark, sf_dir):
 
 
 def q_ann_lsh_top10(spark, sf_dir):
-    """Scale-path ANN: sign-bit LSH bucketing (8 hyperoctant bits from the
-    leading dimensions), probe the query bucket + Hamming-1 neighbors,
-    exact cosine only within probed buckets. Approximate by design ->
-    rows-only check; recall vs the brute-force top-10 is asserted in
-    tests. At 100 TB the bucket join replaces the full cross join."""
+    """Scale-path ANN: signed-random-projection LSH (deterministic
+    hyperplanes), bucket count sized to the table (~64 vectors/bucket),
+    multiprobe = query bucket + all Hamming-1 neighbors, exact cosine only
+    within probed buckets. Approximate by design -> rows-only check;
+    recall >= 0.5 vs the brute-force top-10 is pinned in
+    tests/test_invariants.py. At 100 TB the bucket equijoin replaces the
+    full cross join and candidates stay ~(bits+1)*64 per query."""
+    import math
+
     emb = _read(spark, sf_dir, "embeddings")
-    n_bits = 8
+    n = emb.count()
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    n_bits = max(2, int(math.log2(max(n, 128) / 64.0)))
+
+    def hp_sign(i, j):
+        # deterministic +-1 hyperplane entries (no RNG: stable across runs)
+        return 1.0 if ((i * 1315423911 + j * 2654435761) >> 7) & 1 else -1.0
 
     def bucket_of(col):
         acc = F.lit(0)
         for i in range(n_bits):
-            bit = F.when(
-                F.try_element_at(col, F.lit(i + 1)) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            acc = acc + bit
+            h = F.array(*[F.lit(hp_sign(i, j)) for j in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(col, h, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            acc = acc + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         return acc
 
     emb_b = emb.withColumn("bucket", bucket_of(F.col("embedding")))
     q = emb_b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
-    probe_buckets = F.array(
-        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
-    )
+    # multiprobe: Hamming-1 always; Hamming-2 once the bucket count is
+    # large enough that 1-bit probing alone covers too little of the space
+    # (keeps candidates ~O((bits^2/2) * bucket_size), still a tiny
+    # fraction of N at scale)
+    flips = [F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    if n_bits >= 4:
+        flips += [
+            F.col("qb").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    probe_buckets = F.array(F.col("qb"), *flips)
     cand = emb_b.crossJoin(F.broadcast(q)).filter(
         F.array_contains(probe_buckets, F.col("bucket"))
     )

@@ -40,3 +40,34 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str | None = None) -> Dat
         F.col("ts"),
         F.col("value"),
     )
+
+
+def write_partitioned_transcripts(
+    df: DataFrame, path: str, files_per_partition: int = 4
+) -> None:
+    """Write transcripts in the Iceberg-style physical layout used at
+    100 TB: hive-partitioned by event date (``ds=YYYY-MM-DD``), so date
+    filters prune whole partitions at the metadata level, with a bounded
+    file count per partition (hash on conv_id keeps one conversation's
+    turns co-located within files of its days).
+    """
+    (
+        df.withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(files_per_partition, F.col("ds"), F.col("conv_id"))
+        .write.mode("overwrite")
+        .partitionBy("ds")
+        .parquet(path)
+    )
+
+
+def read_transcripts_range(
+    spark: SparkSession, path: str, ds_from: str | None = None, ds_to: str | None = None
+) -> DataFrame:
+    """Read a date range; the ds predicates are partition filters (pruned
+    before any file is opened — asserted in tests/test_plans.py)."""
+    df = spark.read.parquet(path)
+    if ds_from:
+        df = df.filter(F.col("ds") >= ds_from)
+    if ds_to:
+        df = df.filter(F.col("ds") <= ds_to)
+    return df

@@ -93,3 +93,29 @@ def test_salted_agg_two_phase(spark, transcripts):
     # an exchange that includes the salt column
     assert "__salt" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_partitioned_source_prunes(spark, transcripts, tmp_path):
+    """Date-partitioned (Iceberg-style) layout: ds predicates must reach
+    PartitionFilters, not data filters — whole days skipped at metadata
+    level."""
+    from featuregenerator_spark.sources.tables import (
+        read_transcripts_range,
+        write_partitioned_transcripts,
+    )
+
+    path = str(tmp_path / "part_tr")
+    write_partitioned_transcripts(transcripts, path)
+    all_ds = sorted(
+        r["ds"]
+        for r in spark.read.parquet(path).select("ds").distinct().collect()
+    )
+    assert len(all_ds) > 1
+    lo = all_ds[len(all_ds) // 2]
+    df = read_transcripts_range(spark, path, ds_from=lo)
+    plan = _executed(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ds" in pf[0], plan
+    # and it returns exactly the rows of the kept days
+    want = transcripts.filter(F.date_format("ts", "yyyy-MM-dd") >= lo).count()
+    assert df.count() == want
