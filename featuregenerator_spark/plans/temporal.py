@@ -294,6 +294,76 @@ def asof_join(
     return out
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Alternative as-of join: co-partitioned ``applyInPandas`` running
+    ``pandas.merge_asof`` per key group (Arrow-vectorized, no per-row
+    Python — SURVEY.md §4.1 "plan for both").
+
+    Same semantics as :func:`asof_join`. Trade-off: the union+window form
+    stays entirely in Catalyst with O(1) window state (preferred for
+    mega-keys); this form materializes one key group per pandas call, but
+    runs the probe at C speed and is the natural host for per-group logic
+    that SQL can't express. Used as a cross-check and an escape hatch.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    lcols = list(left.columns)
+    out_fields = [left.schema[c] for c in lcols] + [
+        T.StructField(c, right.schema[c].dataType) for c in value_cols
+    ] + [T.StructField("asof_ts", T.DoubleType())]
+    out_schema = T.StructType(out_fields)
+
+    l = left.withColumn("__lt", F.col(left_ts).cast("double"))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).cast("double").alias("__rt"),
+        *[F.col(c) for c in value_cols],
+    )
+    # tag and union so ONE grouping covers both sides (co-partitioned by
+    # the key; no join before the groupBy)
+    lu = l.withColumn("__is_left", F.lit(True))
+    ru = r.withColumn("__is_left", F.lit(False))
+    unioned = lu.unionByName(ru, allowMissingColumns=True)
+
+    allow_exact = not strict
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lg = pdf[pdf["__is_left"]].sort_values("__lt", kind="mergesort")
+        rg = (
+            pdf[~pdf["__is_left"]][["__rt", *value_cols]]
+            .dropna(subset=["__rt"])
+            .sort_values("__rt", kind="mergesort")
+        )
+        if len(lg) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        merged = pd.merge_asof(
+            lg[[*lcols, "__lt"]],
+            rg.rename(columns={"__rt": "__mt"}),
+            left_on="__lt",
+            right_on="__mt",
+            direction="backward",
+            allow_exact_matches=allow_exact,
+            tolerance=tolerance,
+        )
+        merged["asof_ts"] = merged["__mt"]
+        return merged[[*lcols, *value_cols, "asof_ts"]]
+
+    return unioned.groupBy(on).applyInPandas(
+        lambda pdf: merge(pdf), schema=out_schema
+    )
+
+
 def backfill(
     df: DataFrame,
     cols: Sequence[str],

@@ -136,3 +136,45 @@ def test_backfill(spark):
     out = temporal.backfill(df, ["x"])
     got = {r["turn_idx"]: r["x"] for r in out.collect()}
     assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 5.0, 4: 5.0}
+
+
+def test_asof_join_pandas_matches_window_form(spark, transcripts):
+    """The merge_asof (applyInPandas) variant must agree exactly with the
+    union+window formulation, with and without strict/tolerance."""
+    from pyspark.sql import functions as F
+
+    from featuregenerator_spark.plans.temporal import (
+        asof_join,
+        asof_join_pandas,
+        with_ts_seconds,
+    )
+    from featuregenerator_spark.sources.transcripts import synth_snapshots
+
+    tr = with_ts_seconds(transcripts).select("conv_id", "turn_idx", "ts_sec")
+    snaps = synth_snapshots(spark, transcripts).select(
+        "conv_id",
+        F.col("snap_ts").cast("double").alias("snap_ts"),
+        F.col("feature_state")["turns_seen"].alias("turns_seen"),
+    )
+    for kwargs in (
+        dict(strict=False),
+        dict(strict=True),
+        dict(strict=True, tolerance=3600.0),
+    ):
+        a = asof_join(
+            tr, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+            value_cols=["turns_seen"], **kwargs,
+        )
+        b = asof_join_pandas(
+            tr, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+            value_cols=["turns_seen"], **kwargs,
+        )
+        ka = {
+            (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+            for r in a.collect()
+        }
+        kb = {
+            (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+            for r in b.collect()
+        }
+        assert ka == kb, kwargs
