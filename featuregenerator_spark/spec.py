@@ -224,6 +224,24 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
                 keys=keys,
                 timediff=float(timediff),
             )
+            if p.get("needCombo"):
+                out = la_mod.lookup_combo_counts(
+                    map_keys=common["map_keys"],
+                    map_values=common["map_values"],
+                    value_ts=common["value_ts"],
+                    map2_keys=col(p["map2_keys"]),
+                    map2_values=col(p["map2_values"]),
+                    value2_ts=col(p["value2_timestamps"]),
+                    pvtime=common["pvtime"],
+                    keys=keys,
+                    timediff=float(timediff),
+                    feature_name=spec.feature_name,
+                    need_prefix=p.get("need_prefix", True),
+                    combo_right=p.get("comboRight", True),
+                    count1_cut=p.get("count_cut_threshold", -1),
+                    count2_cut=p.get("count2_cut_threshold", -1),
+                )
+                return out.alias(spec.feature_name)
             if combiner2 == "count":
                 out = la_mod.lookup_count(
                     **common, count_cut_threshold=p.get("count_cut_threshold", -1)
@@ -281,7 +299,9 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
             p.get("item", "ALL")
         )
         mtype = p.get("match_type", "hit")
-        if mtype == "hit":
+        if mtype == "hit" and p.get("needWeighting"):
+            out = mf.match_hit_weighting(user_map, cat, item, spec.feature_name)
+        elif mtype == "hit":
             out = (
                 mf.match_hit_dense(user_map, cat, item)
                 if not p.get("needDiscrete", True)

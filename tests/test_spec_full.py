@@ -70,3 +70,46 @@ def test_encoded_lookup_roundtrip(spark):
     }
     out = compile_config(config, df).collect()[0]
     assert out["v2sum"] == 3.0
+
+
+def test_spec_lookup_needcombo_and_match_weighting(spark):
+    """Config-compiler coverage for needCombo lookups and weighted hit."""
+    from pyspark.sql import functions as F
+
+    from featuregenerator_spark.spec import compile_config
+
+    df = spark.createDataFrame(
+        [
+            (
+                10000.0,
+                ["a", "a"], [1.0, 1.0], [9990.0, 5000.0],
+                ["a"], [1.0], [9900.0],
+                "a",
+                "seg^x:7",
+                "x",
+            )
+        ],
+        "pv double, k1 array<string>, v1 array<double>, t1 array<double>, "
+        "k2 array<string>, v2 array<double>, t2 array<double>, probe string, "
+        "user string, item string",
+    )
+    cfg = {
+        "features": [
+            {
+                "feature_type": "lookup_feature", "feature_name": "pc",
+                "map_keys": "k1", "map_values": "v1", "value_timestamps": "t1",
+                "map2_keys": "k2", "map2_values": "v2", "value2_timestamps": "t2",
+                "pvtime": "pv", "key": "probe", "timediff": 3600,
+                "needCombo": True,
+            },
+            {
+                "feature_type": "match_feature", "feature_name": "mw",
+                "user": "user", "category": "seg", "item": "item",
+                "match_type": "hit", "needWeighting": True,
+            },
+        ]
+    }
+    row = compile_config(cfg, df).select("pc", "mw").first()
+    # history1: only ts 9990 within 3600 of pv -> cnt1=1; history2: cnt2=1
+    assert row["pc"] == "pc_1_1"
+    assert row["mw"]["key"] == "mw_seg_x" and row["mw"]["weight"] == 7.0
