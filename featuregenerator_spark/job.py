@@ -1,0 +1,134 @@
+"""spark-submit entry point: transcript table -> per-turn feature table.
+
+The deployment contract of the north rule: the SAME artifact runs
+unchanged at any executor count —
+
+    spark-submit --py-files fg_spark.zip -m featuregenerator_spark.job \\
+        --input  s3://.../transcripts   (parquet/Iceberg, date-partitioned)
+        --output s3://.../turn_features
+        [--config features.json]       (optional FeatureConfig overlay)
+        [--ds-from YYYY-MM-DD --ds-to YYYY-MM-DD]
+
+or locally: ``python -m featuregenerator_spark.job --input ... --output ...``
+
+Work is split into per-day units committed through plans/lineage.py: each
+``ds`` partition is one atomic snapshot commit with row counters, so a
+killed run resumes from the last committed day (idempotent; half-written
+staging dirs are never published). Runs with no ``ds`` column fall back
+to a single unit keyed "all".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.plans import lineage
+from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+from featuregenerator_spark.plans.temporal import with_ts_seconds
+
+
+def build_features_df(
+    spark,
+    input_path: str,
+    ds: str | None,
+    config: dict | None,
+    lookback_days: int = 1,
+):
+    """Features for one day-unit, point-in-time correct across unit
+    boundaries: the scan includes ``lookback_days`` of history (>= the
+    longest trailing window, default 24h -> 1 day) so rolling counts and
+    gaps at the start of ``ds`` see yesterday's turns, then only ``ds``
+    rows are emitted. Caveat: session numbering is window-relative in
+    chunked runs (a session crossing the lookback horizon restarts its
+    index); gap/rolling/as-of features are exact — asserted in
+    tests/test_job.py.
+    """
+    df = spark.read.parquet(input_path)
+    if ds is not None and "ds" in df.columns:
+        # partition values may be type-inferred (DATE); compare as string.
+        # Both bounds are partition filters -> only lookback+1 days scanned.
+        lo = F.date_sub(F.lit(ds).cast("date"), lookback_days).cast("string")
+        df = df.filter(
+            (F.col("ds").cast("string") >= lo)
+            & (F.col("ds").cast("string") <= ds)
+        )
+    feat = build_turn_features(with_ts_seconds(df))
+    cols = list(FEATURE_COLUMNS)
+    if config:
+        from featuregenerator_spark.spec import compile_spec, parse_config
+
+        for s in parse_config(config):
+            feat = feat.withColumn(s.feature_name, compile_spec(s, feat))
+            cols.append(s.feature_name)
+    if ds is not None and "ds" in feat.columns:
+        feat = feat.filter(F.col("ds").cast("string") == ds)
+    return feat.select(*cols)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", help="FeatureConfig JSON file (extra features)")
+    ap.add_argument("--ds-from")
+    ap.add_argument("--ds-to")
+    ap.add_argument("--app-name", default="fg-spark-job")
+    args = ap.parse_args(argv)
+
+    from featuregenerator_spark.session import get_spark
+
+    spark = get_spark(args.app_name)
+    config = None
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+
+    src = spark.read.parquet(args.input)
+    if "ds" in src.columns:
+        days = [
+            r["ds"]
+            for r in src.select(F.col("ds").cast("string").alias("ds"))
+            .distinct()
+            .orderBy("ds")
+            .collect()
+            if (not args.ds_from or r["ds"] >= args.ds_from)
+            and (not args.ds_to or r["ds"] <= args.ds_to)
+        ]
+    else:
+        days = None
+
+    if days is None:
+        recs = lineage.run_resumable(
+            spark,
+            ["all"],
+            lambda _k: build_features_df(spark, args.input, None, config),
+            args.output,
+        )
+    else:
+        recs = lineage.run_resumable(
+            spark,
+            days,
+            lambda ds: build_features_df(spark, args.input, ds, config),
+            args.output,
+        )
+    done = lineage.committed_partitions(args.output)
+    total = sum(r.rows for r in done.values())
+    print(
+        json.dumps(
+            {
+                "committed_units": len(done),
+                "new_units": len(recs),
+                "total_rows": total,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
