@@ -544,6 +544,32 @@ def q_simhash(spark, sf_dir):
     return docs.select("doc_id", sim.alias("simhash"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: same-lang docs whose 64-bit fingerprints
+    differ in <= 6 bits (bit_count(xor) Hamming distance — the banding-free
+    simhash dedup path; xxhash-based -> rows-only check, correlation with
+    true Jaccard is asserted in tests)."""
+    sims = q_simhash(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sims = sims.join(docs, "doc_id")
+    par = spark.sparkContext.defaultParallelism
+    a = sims.repartition(par, "doc_id").alias("a")
+    b = sims.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= 6)
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (ANN baseline)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -1201,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
+        "simhash_neardup": q_simhash_neardup,
     }
 
     def wrap(fn):

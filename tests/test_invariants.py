@@ -50,3 +50,31 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(brute) == 10
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.5, (recall, sorted(brute), sorted(lsh))
+
+
+def test_simhash_hamming_correlates_with_jaccard(spark):
+    """SimHash near-dup pairs (low Hamming) must have far higher token
+    Jaccard than random same-lang pairs — the property that makes simhash
+    a valid dedup blocking key."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    qs = m.queries()
+    near = qs["simhash_neardup"](spark, sf).filter(F.col("hamming") <= 3)
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    jac = (
+        near.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+        .select(
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("j")
+        )
+    )
+    rows = jac.collect()
+    assert rows, "no near pairs found at hamming<=3"
+    mean_near = sum(r["j"] for r in rows) / len(rows)
+    assert mean_near > 0.55, mean_near  # random same-vocab pairs sit ~0.4
