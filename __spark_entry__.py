@@ -452,13 +452,19 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    sigs = docs.select(
+    # hash each token string ONCE, then derive the n_hashes permutations
+    # from the 8-byte hash (fixed-width rehash ~10x cheaper than
+    # re-hashing the string per permutation)
+    hashed = docs.select(
+        "doc_id", "toks", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+    )
+    sigs = hashed.select(
         "doc_id",
         "toks",
         F.array(
             *[
                 F.array_min(
-                    F.transform(F.col("toks"), lambda t: F.xxhash64(t, F.lit(i)))
+                    F.transform(F.col("th"), lambda h: F.xxhash64(h, F.lit(i)))
                 )
                 for i in range(n_hashes)
             ]
