@@ -103,3 +103,25 @@ def lookup_v1_weighting(
             F.try_element_at(m, k.cast("string")).cast("double").alias("weight"),
         ),
     )
+
+
+def lookup_v1_optimized(
+    values: Column,
+    combiner: str = "sum",
+    normalizer=None,
+    boundaries=None,
+) -> Column:
+    """isOptimized path (LookupFeatureFunction.cpp:216-245,378-401): the
+    host already joined — the input is the values array itself; no probe,
+    just combine -> normalize -> bucketize (same machinery as the dense
+    probe path)."""
+    from featuregenerator_spark.functions.bucketize import bucketize_expr
+    from featuregenerator_spark.functions.combiners import combine_array
+    from featuregenerator_spark.functions.normalizers import normalize_expr
+
+    v = combine_array(F.transform(values, lambda x: x.cast("double")), combiner)
+    if normalizer is not None:
+        v = normalize_expr(v, normalizer)
+    if boundaries:
+        return bucketize_expr(v, boundaries)
+    return v

@@ -191,6 +191,16 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
 
         if not isinstance(schema[p["key"]], T.ArrayType):
             keys = F.array(keys)
+        if p.get("isOptimized"):
+            from featuregenerator_spark.operators import lookup_feature as lf
+
+            out = lf.lookup_v1_optimized(
+                keys,  # values-only input travels in the "key" expression
+                p.get("combiner", "sum"),
+                parse_normalizer(p.get("normalizer")),
+                p.get("bucketize_boundaries"),
+            )
+            return out.alias(spec.feature_name)
         if "map" in p:  # V1 "k:v" string-array form
             from featuregenerator_spark.operators import lookup_feature as lf
 

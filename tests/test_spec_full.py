@@ -113,3 +113,18 @@ def test_spec_lookup_needcombo_and_match_weighting(spark):
     # history1: only ts 9990 within 3600 of pv -> cnt1=1; history2: cnt2=1
     assert row["pc"] == "pc_1_1"
     assert row["mw"]["key"] == "mw_seg_x" and row["mw"]["weight"] == 7.0
+
+
+def test_spec_lookup_optimized_values_only(spark):
+    from featuregenerator_spark.spec import compile_config
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 4.0],), ([],)], "vals array<double>"
+    )
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "opt",
+         "key": "vals", "isOptimized": True, "combiner": "sum",
+         "needDiscrete": False},
+    ]}
+    got = [r["opt"] for r in compile_config(cfg, df).collect()]
+    assert got == [7.0, 0.0]  # empty input -> sum 0 (Combiner.h:57-84)
