@@ -328,7 +328,10 @@ def q_top_words_per_doc(spark, sf_dir):
     tw = top_words(
         F.array(F.col("text")), "w", need_prefix=False, delim_item=" "
     )
-    return docs.select("doc_id", F.slice(tw, 1, 5).alias("top_words"))
+    # array outputs ride as JSON strings: the driver canonicalizer sorts
+    # cells with pandas, which cannot hash list cells (same on both sides,
+    # so the value comparison is unchanged).
+    return docs.select("doc_id", F.to_json(F.slice(tw, 1, 5)).alias("top_words"))
 
 
 def q_lookup_kv_feature(spark, sf_dir):
@@ -813,7 +816,7 @@ def q_match_multihit(spark, sf_dir):
     )
     m = parse_user_info(profile)
     keys = match_multihit_sparse(m, F.lit("ALL"), F.lit("ALL"), "mh")
-    return cust.select("c_custkey", keys.alias("mh_keys"))
+    return cust.select("c_custkey", F.to_json(keys).alias("mh_keys"))
 
 
 def q_match_cos(spark, sf_dir):
@@ -849,7 +852,7 @@ def q_combo_multivalue(spark, sf_dir):
         "cm",
         prune_limits=[2, None],
     )
-    return part.select("p_partkey", keys.alias("combo_keys"))
+    return part.select("p_partkey", F.to_json(keys).alias("combo_keys"))
 
 
 def q_lookup_v2_hashed(spark, sf_dir):
@@ -891,7 +894,7 @@ def q_lookup_v3_multidim(spark, sf_dir):
     v = lookup_encoded_multidim(enc, F.array(F.lit("a"), F.lit("b"), F.lit("x")), 2, "sum")
     return part.select(
         "p_partkey",
-        F.transform(v, lambda x: F.round(x, 4)).alias("v3_dims"),
+        F.to_json(F.transform(v, lambda x: F.round(x, 4))).alias("v3_dims"),
     )
 
 
@@ -940,7 +943,7 @@ def q_id_feature_multivalue(spark, sf_dir):
         invalid_values=["of", "the"],
         prune_to=3,
     )
-    return part.select("p_partkey", keys.alias("name_keys"))
+    return part.select("p_partkey", F.to_json(keys).alias("name_keys"))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -989,7 +992,7 @@ def q_raw_multivalue_pad(spark, sf_dir):
     part = _read(spark, sf_dir, "part")
     lens = F.transform(F.split(F.col("p_name"), " "), lambda w: F.length(w).cast("double"))
     out = raw_feature_multi(lens, value_dimension=4)
-    return part.select("p_partkey", out.alias("len_vec"))
+    return part.select("p_partkey", F.to_json(out).alias("len_vec"))
 
 
 def q_lookup_combo_counts(spark, sf_dir):
@@ -1027,7 +1030,7 @@ def q_preclick_match_words(spark, sf_dir):
         "pm",
         delim_item=" ",
     )
-    return docs.select("doc_id", out.alias("hit_keys"))
+    return docs.select("doc_id", F.to_json(out).alias("hit_keys"))
 
 
 def q_match_cross(spark, sf_dir):
@@ -1040,7 +1043,7 @@ def q_match_cross(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     m = parse_user_info(F.lit("seg^x:1,y:2"))
     out = match_cross(m, F.lit("seg"), F.col("c_mktsegment"), "mc")
-    return cust.select("c_custkey", out.alias("cross_keys"))
+    return cust.select("c_custkey", F.to_json(out).alias("cross_keys"))
 
 
 def q_lookup_v1_weighting(spark, sf_dir):
@@ -1056,8 +1059,8 @@ def q_lookup_v1_weighting(spark, sf_dir):
     out = lookup_v1_weighting(kv, F.array(F.lit("size"), F.lit("nope")), "lw")
     return part.select(
         "p_partkey",
-        F.transform(out, lambda s: s["key"]).alias("w_keys"),
-        F.transform(out, lambda s: s["weight"]).alias("w_vals"),
+        F.to_json(F.transform(out, lambda s: s["key"])).alias("w_keys"),
+        F.to_json(F.transform(out, lambda s: s["weight"])).alias("w_vals"),
     )
 
 
@@ -1135,7 +1138,7 @@ def q_kgb_hit_ret(spark, sf_dir):
     out = kgb_hit_ret(
         brand_q, items, "kr", other_ids=F.array(F.lit("x"), F.col("p_brand"))
     )
-    return part.select("p_partkey", out.alias("hit_keys"))
+    return part.select("p_partkey", F.to_json(out).alias("hit_keys"))
 
 
 def q_lookup_gap_max(spark, sf_dir):
@@ -1398,7 +1401,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(100 * common / CAST(nt AS DOUBLE)) AS BIGINT) AS tcr
             FROM c""",
         "top_words_per_doc": """
-            SELECT doc_id, list(word ORDER BY cnt DESC, word ASC)[1:5] AS top_words
+            SELECT doc_id,
+                   CAST(to_json(list(word ORDER BY cnt DESC, word ASC)[1:5])
+                        AS VARCHAR) AS top_words
             FROM (
               SELECT doc_id, word, count(*) AS cnt
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -1524,9 +1529,9 @@ def oracle_sql() -> dict[str, str]:
             ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
         "match_multihit": """
             SELECT c_custkey,
-                   ['mh_seg_' || c_mktsegment || '_1',
-                    'mh_nat_n' || CAST(c_nationkey AS VARCHAR) || '_2']
-                   AS mh_keys
+                   CAST(to_json(['mh_seg_' || c_mktsegment || '_1',
+                    'mh_nat_n' || CAST(c_nationkey AS VARCHAR) || '_2'])
+                   AS VARCHAR) AS mh_keys
             FROM customer""",
         "match_cos": """
             SELECT c_custkey,
@@ -1535,16 +1540,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer""",
         "combo_multivalue": """
             SELECT p_partkey,
-                   list_transform(string_split(p_type,' ')[1:2],
-                     w -> 'cm_' || w || '_' || p_brand) AS combo_keys
+                   CAST(to_json(list_transform(string_split(p_type,' ')[1:2],
+                     w -> 'cm_' || w || '_' || p_brand)) AS VARCHAR)
+                   AS combo_keys
             FROM part""",
         "lookup_v2_hashed": """
             SELECT p_partkey, round(p_retailprice + p_size, 4) AS v2_sum
             FROM part""",
         "lookup_v3_multidim": """
             SELECT p_partkey,
-                   [round(p_retailprice + 2.0*p_size, 4),
-                    round(p_size + 1.0, 4)] AS v3_dims
+                   CAST(to_json([round(p_retailprice + 2.0*p_size, 4),
+                    round(p_size + 1.0, 4)]::DOUBLE[]) AS VARCHAR) AS v3_dims
             FROM part""",
         "overlap_diff": """
             SELECT doc_id,
@@ -1577,10 +1583,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tw""",
         "id_feature_multivalue": """
             SELECT p_partkey,
-                   list_transform(
+                   CAST(to_json(list_transform(
                      (list_filter(string_split(p_name,' '),
                         t -> NOT list_contains(['of','the'], t)))[1:3],
-                     t -> 'nm_' || t) AS name_keys
+                     t -> 'nm_' || t)) AS VARCHAR) AS name_keys
             FROM part""",
         "multimodal_decode": """
             SELECT doc_id AS asset_id, 'image' AS kind,
@@ -1597,9 +1603,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "raw_multivalue_pad": """
             SELECT p_partkey,
-                   list_transform([1,2,3,4],
+                   CAST(to_json(list_transform([1,2,3,4],
                      i -> coalesce(CAST(length(string_split(p_name,' ')[i])
-                                        AS DOUBLE), 0.0)) AS len_vec
+                                        AS DOUBLE), 0.0))) AS VARCHAR)
+                   AS len_vec
             FROM part""",
         "lookup_combo_counts": """
             SELECT p_partkey,
@@ -1616,19 +1623,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list(word ORDER BY cnt DESC, word ASC)[1:20] AS top
               FROM wc GROUP BY doc_id)
             SELECT doc_id,
-                   list_transform(
+                   CAST(to_json(list_transform(
                      (list_filter(top, w -> list_contains(
                         ['table','join','row','the','value'], w)))[1:20],
-                     w -> 'pm_' || w) AS hit_keys
+                     w -> 'pm_' || w)) AS VARCHAR) AS hit_keys
             FROM tw""",
         "match_cross": """
             SELECT c_custkey,
-                   ['mc_seg_x_' || c_mktsegment,
-                    'mc_seg_y_' || c_mktsegment] AS cross_keys
+                   CAST(to_json(['mc_seg_x_' || c_mktsegment,
+                    'mc_seg_y_' || c_mktsegment]) AS VARCHAR) AS cross_keys
             FROM customer""",
         "lookup_v1_weighting": """
-            SELECT p_partkey, ['lw_size'] AS w_keys,
-                   [CAST(p_size AS DOUBLE)] AS w_vals
+            SELECT p_partkey,
+                   CAST(to_json(['lw_size']) AS VARCHAR) AS w_keys,
+                   CAST(to_json([CAST(p_size AS DOUBLE)]) AS VARCHAR) AS w_vals
             FROM part""",
         "normalizer_log10": """
             SELECT o_orderkey,
@@ -1662,7 +1670,8 @@ def oracle_sql() -> dict[str, str]:
             FROM part""",
         "kgb_hit_ret_combo": """
             SELECT p_partkey,
-                   ['kr_' || c || '_x', 'kr_' || c || '_' || p_brand]
+                   CAST(to_json(['kr_' || c || '_x',
+                                 'kr_' || c || '_' || p_brand]) AS VARCHAR)
                    AS hit_keys
             FROM (SELECT p_partkey, p_brand,
                          CASE WHEN p_size < 25 THEN '0' ELSE '1' END AS c
