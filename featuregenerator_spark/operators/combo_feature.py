@@ -20,7 +20,9 @@ def _pruned(arr: Column, limit: int | None, from_right: bool) -> Column:
     if not limit:
         return arr
     if from_right:
-        return F.slice(arr, -limit, limit)
+        # slice with a negative start beyond the array length yields [],
+        # but pruneRight on a short input must keep the whole array
+        return F.when(F.size(arr) > limit, F.slice(arr, -limit, limit)).otherwise(arr)
     return F.slice(arr, 1, limit)
 
 

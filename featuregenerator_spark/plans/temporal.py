@@ -133,15 +133,42 @@ def with_rolling_agg(
     """Rolling sum/min/max/avg of a value expression over the time window.
 
     Maps the reference combiners (Combiner.h:43-90) onto range frames.
-    include_current=False uses the [−Δ, −ε] trick via self-subtraction for
-    sum; min/max/avg fall back to excluding via a lagged frame.
+    include_current=False must exclude exactly the current row — a
+    ``rangeBetween(-Δ, -1)`` bound on a seconds-valued order key would
+    wrongly exclude every row within 1 *second*, not just self, for
+    sub-second timestamps. Instead: sum/avg subtract the current row's own
+    contribution from the [−Δ, 0] frame (exact, keeps O(1) range-frame
+    state); min/max order by integer *microseconds* so the −1 bound
+    excludes only rows within 1 µs of the current one (exact down to the
+    data's real timestamp resolution).
     """
+    if include_current:
+        w = (
+            Window.partitionBy(conv)
+            .orderBy(F.col(ts_sec))
+            .rangeBetween(-int(window_seconds), 0)
+        )
+        fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "mean": F.avg}[agg]
+        return df.withColumn(out, fn(value).over(w))
+    if agg in ("sum", "avg", "mean"):
+        w = (
+            Window.partitionBy(conv)
+            .orderBy(F.col(ts_sec))
+            .rangeBetween(-int(window_seconds), 0)
+        )
+        s = F.sum(value).over(w) - F.coalesce(value, F.lit(0.0))
+        if agg == "sum":
+            return df.withColumn(out, s)
+        n = F.count(value).over(w) - F.when(value.isNotNull(), 1).otherwise(0)
+        return df.withColumn(out, F.when(n > 0, s / n))
+    # min/max: no algebraic self-exclusion — use a µs-resolution range key
+    us = (F.col(ts_sec) * 1_000_000).cast("long")
     w = (
         Window.partitionBy(conv)
-        .orderBy(F.col(ts_sec))
-        .rangeBetween(-int(window_seconds), 0 if include_current else -1)
+        .orderBy(us)
+        .rangeBetween(-int(window_seconds) * 1_000_000, -1)
     )
-    fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg, "mean": F.avg}[agg]
+    fn = {"min": F.min, "max": F.max}[agg]
     return df.withColumn(out, fn(value).over(w))
 
 
@@ -393,16 +420,17 @@ def history_arrays(
     in-row kernels (operators/lookup_array.py) run unchanged per turn.
 
     O(n^2) per conversation by nature — bounded by ``max_history`` (keep
-    the most recent K) for production; unbounded only in tests.
+    the most recent K) for production; unbounded only in tests. The bound
+    is lossless for downstream kernels as long as no conversation has
+    more than K turns inside the kernel's timediff window (kernels only
+    read history with ``pv_ts - ts <= timediff``).
     """
-    w = _order_window(conv, order_by).rowsBetween(Window.unboundedPreceding, -1)
+    w = _order_window(conv, order_by).rowsBetween(
+        Window.unboundedPreceding if not max_history else -int(max_history), -1
+    )
     hist_k = F.collect_list(key_col).over(w)
     hist_v = F.collect_list(F.col(value_col).cast("double")).over(w)
     hist_t = F.collect_list(F.col(ts_sec)).over(w)
-    if max_history:
-        hist_k = F.slice(hist_k, -max_history, max_history)
-        hist_v = F.slice(hist_v, -max_history, max_history)
-        hist_t = F.slice(hist_t, -max_history, max_history)
     return (
         df.withColumn("hist_keys", hist_k)
         .withColumn("hist_values", hist_v)

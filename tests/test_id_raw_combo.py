@@ -107,3 +107,20 @@ def test_combo_prune(spark):
     ).collect()
     # left keeps first 2 of a, right keeps last 1 of b
     assert out[0]["k"] == ["c_1_c", "c_2_c"]
+
+
+def test_combo_prune_right_short_array(spark):
+    """pruneRight with fewer values than the limit keeps the whole array
+    (regression: negative-start slice returned [] for short inputs)."""
+    df = spark.createDataFrame(
+        [(["1", "2", "3"], ["a"])], "a array<string>, b array<string>"
+    )
+    out = df.select(
+        combo_feature_multi(
+            [F.col("a"), F.col("b")],
+            "c",
+            prune_limits=[5, 3],
+            prune_right=[True, True],
+        ).alias("k")
+    ).collect()
+    assert out[0]["k"] == ["c_1_a", "c_2_a", "c_3_a"]

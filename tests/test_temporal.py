@@ -9,6 +9,8 @@ north_rule invariants verified here:
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from featuregenerator_spark.oracle import pandas_kernels as oracle
@@ -178,3 +180,54 @@ def test_asof_join_pandas_matches_window_form(spark, transcripts):
             for r in b.collect()
         }
         assert ka == kb, kwargs
+
+
+def test_rolling_agg_exclude_current_subsecond(spark):
+    """include_current=False must exclude exactly the current row, even
+    when neighbors sit < 1 s apart (a range frame ending at -1 on a
+    seconds order key would wrongly drop the 0.2s-ago row too)."""
+    from featuregenerator_spark.plans import temporal
+
+    rows = [
+        ("c", 0, 100.0, 10.0),
+        ("c", 1, 100.2, 20.0),   # 0.2 s later
+        ("c", 2, 100.5, 30.0),
+        ("c", 3, 200.0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts_sec double, v double")
+    for agg, want in {
+        "sum": {0: 0.0, 1: 10.0, 2: 30.0, 3: 60.0},
+        "avg": {0: None, 1: 10.0, 2: 15.0, 3: 20.0},
+        "min": {0: None, 1: 10.0, 2: 10.0, 3: 10.0},
+        "max": {0: None, 1: 10.0, 2: 20.0, 3: 30.0},
+    }.items():
+        out = temporal.with_rolling_agg(
+            df, 3600.0, F.col("v"), agg, "o", include_current=False
+        )
+        got = {r["turn_idx"]: r["o"] for r in out.collect()}
+        for k, w in want.items():
+            if w is None:
+                assert got[k] is None, (agg, k, got[k])
+            else:
+                assert got[k] == pytest.approx(w), (agg, k, got[k])
+
+
+def test_history_arrays_bounded_short_groups(spark):
+    """max_history larger than the group must keep the full history (a
+    negative-start slice would empty it) and equal the unbounded form."""
+    from featuregenerator_spark.plans import temporal
+
+    rows = [("c", i, 100.0 + i, float(i), "k") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts_sec double, v double, k string"
+    )
+    unb = temporal.history_arrays(df, "k", "v", order_by=("turn_idx",))
+    bnd = temporal.history_arrays(df, "k", "v", order_by=("turn_idx",), max_history=256)
+    u = {r["turn_idx"]: r["hist_ts"] for r in unb.collect()}
+    b = {r["turn_idx"]: r["hist_ts"] for r in bnd.collect()}
+    assert u == b
+    assert len(b[4]) == 4  # all 4 prior turns retained
+
+    tight = temporal.history_arrays(df, "k", "v", order_by=("turn_idx",), max_history=2)
+    t = {r["turn_idx"]: r["hist_ts"] for r in tight.collect()}
+    assert t[4] == u[4][-2:]  # most recent 2 prior rows kept
