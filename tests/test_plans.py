@@ -119,3 +119,41 @@ def test_partitioned_source_prunes(spark, transcripts, tmp_path):
     # and it returns exactly the rows of the kept days
     want = transcripts.filter(F.date_format("ts", "yyyy-MM-dd") >= lo).count()
     assert df.count() == want
+
+
+def test_simhash_neardup_banded_equijoin_and_parity(spark):
+    """The simhash near-dup pairing must be a hash equijoin on the
+    pigeonhole segments (never a nested-loop per-lang cross product), and
+    must return exactly the pairs the brute-force pairing returns."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    banded = entry.q_simhash_neardup(spark, sf_dir)
+    plan = _executed(banded)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+    # brute-force reference pairing (same fingerprints, all same-lang pairs)
+    sims = entry.q_simhash(spark, sf_dir)
+    docs = entry._docs(spark, sf_dir).select("doc_id", "lang")
+    s = sims.join(docs, "doc_id")
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in banded.collect()}
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want
