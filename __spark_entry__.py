@@ -1225,6 +1225,109 @@ def q_lookup_gap_max(spark, sf_dir):
     )
 
 
+def q_normalizer_bound_regular(spark, sf_dir):
+    """bound_regular normalizer (Normalizer.h:51-64): clamp into
+    [y_max+y_add, y_min], optional ln, then zscore."""
+    from featuregenerator_spark.functions.normalizers import parse_normalizer
+    from featuregenerator_spark.operators.raw_feature import raw_feature_scalar
+
+    li = _read(spark, sf_dir, "lineitem")
+    n = parse_normalizer(
+        "method=bound_regular,y_max=5.0,y_add=1.0,y_min=40.0,"
+        "log=true,mean=1.0,standard_deviation=2.0"
+    )
+    out = raw_feature_scalar(F.col("l_quantity"), n)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(out, 6).alias("qty_br")
+    )
+
+
+def q_match_weighting(spark, sf_dir):
+    """match_feature hit with needWeighting
+    (MatchFunctionImpl.cpp:53-75): key omits the value, weight carries
+    it; null when the probed item misses the category map."""
+    from featuregenerator_spark.operators.match_feature import (
+        match_hit_weighting,
+        parse_user_info,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.lit("seg^"), F.col("c_mktsegment"), F.lit(":"),
+        F.col("c_nationkey").cast("string"),
+    )
+    m = parse_user_info(profile)
+    hit = match_hit_weighting(m, F.lit("seg"), F.lit("BUILDING"), "mw")
+    return cust.select(
+        "c_custkey", hit["key"].alias("w_key"), hit["weight"].alias("w_weight")
+    )
+
+
+def q_combo_sorted(spark, sf_dir):
+    """combo_feature needSort + pruneRight
+    (ComboFeatureFunction.cpp:170-178): last-2 window of p_name words x
+    p_brand, sorted de-duped keys."""
+    from featuregenerator_spark.operators.combo_feature import combo_feature_multi
+
+    part = _read(spark, sf_dir, "part")
+    keys = combo_feature_multi(
+        [F.split(F.col("p_name"), " "), F.array(F.col("p_brand"))],
+        "cs",
+        prune_limits=[2, None],
+        prune_right=[True, False],
+        need_sort=True,
+    )
+    return part.select("p_partkey", F.to_json(keys).alias("sorted_keys"))
+
+
+def q_preclick_decode_kv(spark, sf_dir):
+    """preclick need_decode + delim_kv (base64 items of 'k:v' words,
+    value part kept — PreclickUrbWordFeatureFunction.h:60-75)."""
+    from featuregenerator_spark.operators.preclick_urb import top_words
+
+    docs = _docs(spark, sf_dir)
+    items = F.array(
+        F.base64(
+            F.encode(
+                F.concat(
+                    F.lit("u:"), F.col("lang"), F.lit(" v:"), F.col("source")
+                ),
+                "UTF-8",
+            )
+        )
+    )
+    tw = top_words(
+        items, "pd", delim_item=" ", delim_kv=":", need_decode=True
+    )
+    return docs.select("doc_id", F.to_json(tw).alias("decoded_keys"))
+
+
+def q_asof_pandas_parity(spark, sf_dir):
+    """The applyInPandas merge_asof form of the as-of join, against the
+    same oracle as the union+window form (asof_last_purchase)."""
+    from featuregenerator_spark.plans.temporal import asof_join_pandas
+
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .withColumn("pts", F.col("ts").cast("timestamp").cast("double"))
+    )
+    joined = asof_join_pandas(
+        ev.select("event_id", "user_id", "ts_sec"),
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="pts",
+        value_cols=["pv"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id", F.round("pv", 4).alias("last_purchase_value")
+    )
+
+
 def q_topk_docs_per_lang(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -1296,6 +1399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
         "simhash_neardup": q_simhash_neardup,
+        "normalizer_bound_regular": q_normalizer_bound_regular,
+        "match_weighting": q_match_weighting,
+        "combo_sorted_pruneright": q_combo_sorted,
+        "preclick_decode_kv": q_preclick_decode_kv,
+        "asof_pandas_parity": q_asof_pandas_parity,
     }
 
     def wrap(fn):
@@ -1735,6 +1843,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT p_partkey, p_brand,
                          CASE WHEN p_size < 25 THEN '0' ELSE '1' END AS c
                   FROM part)""",
+        "normalizer_bound_regular": """
+            SELECT l_orderkey, l_linenumber,
+                   round((ln(least(greatest(l_quantity, 5.0) + 1.0, 40.0))
+                          - 1.0) / 2.0, 6) AS qty_br
+            FROM lineitem""",
+        "match_weighting": """
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN 'mw_seg_BUILDING' END AS w_key,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN CAST(c_nationkey AS DOUBLE) END AS w_weight
+            FROM customer""",
+        "combo_sorted_pruneright": """
+            SELECT p_partkey,
+                   CAST(to_json(list_transform(
+                     list_sort(list_distinct(list_transform(
+                       string_split(p_name,' ')[-2:],
+                       w -> w || '_' || p_brand))),
+                     x -> 'cs_' || x)) AS VARCHAR) AS sorted_keys
+            FROM part""",
+        "preclick_decode_kv": """
+            SELECT doc_id,
+                   CAST(to_json(list_transform(
+                     list_sort([lang, source]),
+                     w -> 'pd_' || w)) AS VARCHAR) AS decoded_keys
+            FROM documents""",
+        "asof_pandas_parity": """
+            SELECT e.event_id, round(p.pv, 4) AS last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS pv FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
         "lookup_gap_max_kernel": """
             WITH w AS (
               SELECT event_id, epoch(ts) AS now,

@@ -366,7 +366,7 @@ def asof_join_pandas(
     allow_exact = not strict
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        lg = pdf[pdf["__is_left"]].sort_values("__lt", kind="mergesort")
+        lg = pdf[pdf["__is_left"]]
         rg = (
             pdf[~pdf["__is_left"]][["__rt", *value_cols]]
             .dropna(subset=["__rt"])
@@ -374,6 +374,16 @@ def asof_join_pandas(
         )
         if len(lg) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
+        # merge_asof raises on null merge keys: left rows with a null ts
+        # are emitted with null match columns (same as the window form)
+        null_mask = lg["__lt"].isna()
+        lnull = lg[null_mask][[*lcols]].copy()
+        for c in value_cols:
+            lnull[c] = None
+        lnull["asof_ts"] = None
+        lg = lg[~null_mask].sort_values("__lt", kind="mergesort")
+        if len(lg) == 0:
+            return lnull[[*lcols, *value_cols, "asof_ts"]]
         merged = pd.merge_asof(
             lg[[*lcols, "__lt"]],
             rg.rename(columns={"__rt": "__mt"}),
@@ -384,7 +394,10 @@ def asof_join_pandas(
             tolerance=tolerance,
         )
         merged["asof_ts"] = merged["__mt"]
-        return merged[[*lcols, *value_cols, "asof_ts"]]
+        merged = merged[[*lcols, *value_cols, "asof_ts"]]
+        if len(lnull):
+            merged = pd.concat([merged, lnull], ignore_index=True)
+        return merged
 
     return unioned.groupBy(on).applyInPandas(
         lambda pdf: merge(pdf), schema=out_schema

@@ -231,3 +231,31 @@ def test_history_arrays_bounded_short_groups(spark):
     tight = temporal.history_arrays(df, "k", "v", order_by=("turn_idx",), max_history=2)
     t = {r["turn_idx"]: r["hist_ts"] for r in tight.collect()}
     assert t[4] == u[4][-2:]  # most recent 2 prior rows kept
+
+
+def test_asof_join_pandas_null_left_ts(spark):
+    """Left rows with a null as-of timestamp must come through with null
+    match columns (merge_asof would raise on null merge keys), matching
+    the union+window form's null handling."""
+    from featuregenerator_spark.plans import temporal
+
+    left = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+        "k string, id int, lt double",
+    )
+    right = spark.createDataFrame(
+        [("a", 5.0, 100.0), ("a", 25.0, 200.0)], "k string, rt double, v double"
+    )
+    out = temporal.asof_join_pandas(
+        left, right, on="k", left_ts="lt", right_ts="rt", value_cols=["v"]
+    )
+    got = {r["id"]: (r["v"], r["asof_ts"]) for r in out.collect()}
+    assert got[1] == (100.0, 5.0)
+    assert got[2] == (None, None)
+    assert got[3] == (200.0, 25.0)
+
+    win = temporal.asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", value_cols=["v"]
+    )
+    wgot = {r["id"]: (r["v"], r["asof_ts"]) for r in win.collect()}
+    assert got == wgot
