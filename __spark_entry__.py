@@ -1022,6 +1022,28 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("asset_id", "kind", "n_bytes", "payload_hash")
 
 
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
+    (stdlib wave writer) decoded back by the stdlib wave reader inside
+    mapInPandas — header fields + sample RMS, all oracle-checked in
+    closed form (square wave -> rms == amplitude exactly)."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_wav_assets,
+        synth_wav_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = decode_wav_assets(synth_wav_assets(docs))
+    return feats.select(
+        "asset_id",
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -1386,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preclick_match_count": q_preclick_match_count,
         "id_feature_multivalue": q_id_feature_multivalue,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_wav_decode": q_multimodal_wav,
         "config_compiled": q_config_compiled,
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
@@ -1759,6 +1782,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, 'image' AS kind,
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    md5(text) AS payload_hash
+            FROM documents""",
+        "multimodal_wav_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(800 + (doc_id % 5) * 80 AS INTEGER) AS n_frames,
+                   round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
+                   round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 6) AS rms
             FROM documents""",
         "config_compiled": """
             SELECT event_id,
