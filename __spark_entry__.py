@@ -1678,7 +1678,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(0.4 * least(1.0, n/64.0)
                        + 0.3 * least(1.0, 4.0*stop/n)
-                       + 0.3 * (1.0 - least(1.0, 4.0*punct/chars)), 6) AS quality
+                       + 0.3 * (1.0 - least(1.0,
+                           CASE WHEN chars > 0 THEN 4.0*punct/chars
+                                ELSE 0.0 END)), 6) AS quality
             FROM s""",
         "doc_fingerprint": """
             SELECT doc_id,

@@ -42,10 +42,17 @@ def build_features_df(
     boundaries: the scan includes ``lookback_days`` of history (>= the
     longest trailing window, default 24h -> 1 day) so rolling counts and
     gaps at the start of ``ds`` see yesterday's turns, then only ``ds``
-    rows are emitted. Caveat: session numbering is window-relative in
-    chunked runs (a session crossing the lookback horizon restarts its
-    index); gap/rolling/as-of features are exact — asserted in
-    tests/test_job.py.
+    rows are emitted.
+
+    ``gap_seconds`` is horizon-limited by contract: null when the
+    previous turn is more than ``lookback_days`` back. A chunked run
+    cannot see turns beyond its lookback scan, so the one-shot path nulls
+    those gaps too (via build_turn_features(gap_horizon_seconds=...)) —
+    both paths agree exactly, including for conversations idle longer
+    than the lookback (asserted in tests/test_job.py). ``gap_bucket`` is
+    unaffected (beyond-horizon and unknown both bucket to 8). Caveat:
+    session numbering is window-relative in chunked runs (a session
+    crossing the lookback horizon restarts its index).
     """
     df = spark.read.parquet(input_path)
     if ds is not None and "ds" in df.columns:
@@ -56,7 +63,10 @@ def build_features_df(
             (F.col("ds").cast("string") >= lo)
             & (F.col("ds").cast("string") <= ds)
         )
-    feat = build_turn_features(with_ts_seconds(df))
+    feat = build_turn_features(
+        with_ts_seconds(df),
+        gap_horizon_seconds=lookback_days * 86400.0,
+    )
     cols = list(FEATURE_COLUMNS)
     if config:
         from featuregenerator_spark.spec import compile_spec, parse_config

@@ -72,7 +72,12 @@ def quality_score(text: Column) -> Column:
     )
     length_part = F.least(F.lit(1.0), n / 64.0)
     stop_part = F.least(F.lit(1.0), 4.0 * stop / n)
-    punct_part = 1.0 - F.least(F.lit(1.0), 4.0 * punct.cast("double") / F.length(text))
+    # empty text: Spark x/0 is NULL, DuckDB/IEEE is NaN — define the
+    # punct ratio as 0 for empty docs so the score is a plain number
+    punct_ratio = F.when(
+        F.length(text) > 0, 4.0 * punct.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    punct_part = 1.0 - F.least(F.lit(1.0), punct_ratio)
     return 0.4 * length_part + 0.3 * stop_part + 0.3 * punct_part
 
 

@@ -35,8 +35,20 @@ def build_turn_features(
     tool_gap_timediff: float = 86400.0,
     snapshots: DataFrame | None = None,
     num_partitions: int | None = None,
+    gap_horizon_seconds: float | None = None,
 ) -> DataFrame:
-    """transcripts -> per-turn feature DataFrame (the flagship query)."""
+    """transcripts -> per-turn feature DataFrame (the flagship query).
+
+    gap_horizon_seconds: when set, ``gap_seconds`` is defined as
+    horizon-limited — null whenever the previous turn is further back
+    than the horizon. This is the contract that makes day-chunked runs
+    (which scan only ``lookback`` days of history) byte-identical to
+    one-shot runs for idle conversations; ``gap_bucket`` is unaffected
+    because any gap beyond 43200s buckets to 8, the same value the
+    null -> 8 coalesce yields (hence the >= 43200 requirement).
+    """
+    if gap_horizon_seconds is not None and gap_horizon_seconds < 43200:
+        raise ValueError("gap_horizon_seconds must be >= 43200 (TimeDiffNormal top bucket)")
     df = temporal.with_ts_seconds(transcripts)
     # sort order chosen to match the window stages below (one shared sort)
     df = repartition_for_windows(
@@ -71,6 +83,14 @@ def build_turn_features(
     order_by = (temporal.TS_SEC, temporal.TURN)
     df = temporal.with_gap(df, order_by=order_by)
     df = df.withColumn("gap_bucket", F.coalesce(F.col("gap_bucket"), F.lit(8)))
+    if gap_horizon_seconds is not None:
+        df = df.withColumn(
+            "gap_seconds",
+            F.when(
+                F.col("gap_seconds") <= float(gap_horizon_seconds),
+                F.col("gap_seconds"),
+            ),
+        )
     for w_s in rolling_windows:
         tag = f"{int(w_s)}s"
         df = temporal.with_rolling_count(

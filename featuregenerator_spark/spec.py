@@ -99,6 +99,10 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
             raise ValueError(f"{name}: bucketize_boundaries must be sorted")
         if params.get("needDiscrete") and params.get("isOptimized"):
             raise ValueError(f"{name}: discrete and optimized are exclusive")
+        if params.get("needWeighting") and params.get("isOptimized"):
+            # the reference rejects this combination too
+            # (LookupFeatureFunction.cpp:226-229)
+            raise ValueError(f"{name}: weighting and optimized are exclusive")
         specs.append(FeatureSpec(ftype, name, params))
     return specs
 
@@ -186,16 +190,27 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
 
     if spec.feature_type == "lookup_feature":
         timediff = p.get("timediff", -1)
-        keys = col(p["key"])
         from pyspark.sql import types as T
 
-        if not isinstance(schema[p["key"]], T.ArrayType):
-            keys = F.array(keys)
+        keys = None
+        if "key" in p:  # absent for isOptimized configs in reference layout
+            keys = col(p["key"])
+            if not isinstance(schema[p["key"]], T.ArrayType):
+                keys = F.array(keys)
         if p.get("isOptimized"):
             from featuregenerator_spark.operators import lookup_feature as lf
 
+            # the optimized path takes the values array from the
+            # map/expression input slot, key unused
+            # (LookupFeatureFunction.cpp:216-224); the legacy "key" slot
+            # is accepted as a fallback for configs written against the
+            # pre-round-2 layout
+            src = p["map"] if "map" in p else p["key"]
+            vals = col(src)
+            if not isinstance(schema[src], T.ArrayType):
+                vals = F.array(vals)
             out = lf.lookup_v1_optimized(
-                keys,  # values-only input travels in the "key" expression
+                vals,
                 p.get("combiner", "sum"),
                 parse_normalizer(p.get("normalizer")),
                 p.get("bucketize_boundaries"),

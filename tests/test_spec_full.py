@@ -1,6 +1,7 @@
 """Config-driven compilation covers the whole factory surface
 (FeatureFunctionCreator parity: every feature_type buildable from JSON)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from featuregenerator_spark.spec import compile_config
@@ -128,3 +129,31 @@ def test_spec_lookup_optimized_values_only(spark):
     ]}
     got = [r["opt"] for r in compile_config(cfg, df).collect()]
     assert got == [7.0, 0.0]  # empty input -> sum 0 (Combiner.h:57-84)
+
+
+def test_spec_lookup_optimized_reference_layout(spark):
+    """Reference input layout: the values array travels in the
+    map/expression slot (LookupFeatureFunction.cpp:216-224); key unused."""
+    from featuregenerator_spark.spec import compile_config
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 4.0],), ([],)], "vals array<double>"
+    )
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "opt",
+         "map": "vals", "isOptimized": True, "combiner": "sum",
+         "needDiscrete": False},
+    ]}
+    got = [r["opt"] for r in compile_config(cfg, df).collect()]
+    assert got == [7.0, 0.0]
+
+
+def test_spec_lookup_optimized_rejects_weighting(spark):
+    from featuregenerator_spark.spec import parse_config
+
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "bad",
+         "map": "vals", "isOptimized": True, "needWeighting": True},
+    ]}
+    with pytest.raises(ValueError, match="exclusive"):
+        parse_config(cfg)
