@@ -454,6 +454,21 @@ def q_neardup_token_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.8)
 
 
+def q_dedup_connected_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: exact-Jaccard edges ->
+    iterative min-label propagation -> (doc, component). Oracle = DuckDB
+    recursive CTE computing min reachable id over the same edge set
+    (near-dup is not transitive; dedup must act on the transitive
+    closure)."""
+    from featuregenerator_spark.operators.dedup_cluster import connected_components
+
+    edges = q_neardup_token_jaccard(spark, sf_dir)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
     re-checking exact Jaccard on the candidates (no SQL oracle: hash
@@ -956,6 +971,30 @@ def q_lookup_v3_multidim(spark, sf_dir):
     )
 
 
+def q_lookup_legacy_v2(spark, sf_dir):
+    """Decode-only path for reference legacy-V2 encoded maps: byte layout
+    [sorted murmur64A u64 keys][f32 values] (LookupFeatureEncoder.cpp:
+    31-66), probed with a numpy binary search in mapInPandas. f32 storage
+    makes the oracle the f32-cast closed form."""
+    from featuregenerator_spark.operators.lookup_legacy import (
+        lookup_legacy_v2,
+        synth_legacy_v2_payloads,
+    )
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    enc = synth_legacy_v2_payloads(
+        part, {"price": F.col("p_retailprice"), "size": F.col("p_size")}
+    )
+    out = lookup_legacy_v2(
+        enc, "payload", ["price", "size", "missing"], out="legacy_sum"
+    )
+    return out.select(
+        "p_partkey", F.round("legacy_sum", 4).alias("legacy_sum")
+    )
+
+
 def q_overlap_diff(spark, sf_dir):
     """overlap_feature diff_word / hit_ornot / is_equal trio."""
     from featuregenerator_spark.operators.overlap_feature import overlap_feature
@@ -1385,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_ratio": q_overlap_ratio,
         "top_words_per_doc": q_top_words_per_doc,
         "dedup_exact": q_dedup_exact,
+        "dedup_connected_components": q_dedup_connected_components,
         "neardup_token_jaccard": q_neardup_token_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
@@ -1404,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_multivalue": q_combo_multivalue,
         "lookup_v2_hashed": q_lookup_v2_hashed,
         "lookup_v3_multidim": q_lookup_v3_multidim,
+        "lookup_legacy_v2_decode": q_lookup_legacy_v2,
         "overlap_diff": q_overlap_diff,
         "preclick_match_count": q_preclick_match_count,
         "id_feature_multivalue": q_id_feature_multivalue,
@@ -1604,6 +1645,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS dup_count
             FROM documents GROUP BY 1""",
+        "dedup_connected_components": """
+            WITH RECURSIVE
+            t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+                    >= 0.8),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach AS (
+                SELECT u AS node, v AS r FROM sym
+              UNION
+                SELECT reach.node, sym.v AS r
+                FROM reach JOIN sym ON reach.r = sym.u
+            )
+            SELECT node AS doc_id, least(node, min(r)) AS component
+            FROM reach GROUP BY node""",
         "neardup_token_jaccard": """
             WITH t AS (
               SELECT doc_id, lang,
@@ -1743,6 +1805,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    CAST(to_json([round(p_retailprice + 2.0*p_size, 4),
                     round(p_size + 1.0, 4)]::DOUBLE[]) AS VARCHAR) AS v3_dims
+            FROM part""",
+        "lookup_legacy_v2_decode": """
+            SELECT p_partkey,
+                   round(CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+                         + CAST(CAST(p_size AS REAL) AS DOUBLE), 4)
+                   AS legacy_sum
             FROM part""",
         "overlap_diff": """
             SELECT doc_id,

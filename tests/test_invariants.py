@@ -78,3 +78,29 @@ def test_simhash_hamming_correlates_with_jaccard(spark):
     assert rows, "no near pairs found at hamming<=3"
     mean_near = sum(r["j"] for r in rows) / len(rows)
     assert mean_near > 0.55, mean_near  # random same-vocab pairs sit ~0.4
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation: a chain A-B-C is ONE cluster even though
+    A~C was never an edge (near-dup non-transitivity), disjoint pairs
+    stay separate, and dedup_clusters reports min-id canonicals."""
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    clusters = {
+        r["component"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(edges, "doc_a", "doc_b").collect()
+    }
+    assert clusters == {1: (1, 4), 10: (10, 2), 20: (20, 2)}
