@@ -167,7 +167,12 @@ def q_same_type_kernel_parity(spark, sf_dir):
     from featuregenerator_spark.operators.lookup_array import lookup_count
     from featuregenerator_spark.plans.temporal import history_arrays
 
-    ev = _events(spark, sf_dir)
+    # explicit partition count: AQE's byte-based post-shuffle coalescing
+    # sees a few MB and folds the stage to ~3 partitions, but the kernel
+    # evaluation below is CPU-bound interpreted higher-order functions —
+    # keep it spread across the cores (4.4x on this query at 32 cores).
+    par = spark.sparkContext.defaultParallelism * 2
+    ev = _events(spark, sf_dir).repartition(par, "user_id")
     # bounded history: kernels only read events inside the 1h/1d timediff
     # window; measured max is 11 events per user-day at sf0.01/sf0.1, so
     # keeping the last 256 prior rows is lossless while capping window
@@ -365,7 +370,11 @@ def q_lookup_gap_kernel(spark, sf_dir):
     from featuregenerator_spark.operators.lookup_array import lookup_gap
     from featuregenerator_spark.plans.temporal import history_arrays
 
-    ev = _events(spark, sf_dir)
+    # explicit partitioning: keep the interpreted kernel spread across
+    # cores (AQE byte-based coalesce would serialize it — see
+    # lookup_array_kernel_parity)
+    par = spark.sparkContext.defaultParallelism * 2
+    ev = _events(spark, sf_dir).repartition(par, "user_id")
     hist = history_arrays(
         ev, "event_type", "value", conv="user_id", order_by=("ts", "event_id"),
         max_history=256,  # lossless: max 11 same-user events per 1d window
@@ -1266,7 +1275,8 @@ def q_lookup_gap_max(spark, sf_dir):
     from featuregenerator_spark.operators.lookup_array import lookup_gap
     from featuregenerator_spark.plans.temporal import history_arrays
 
-    ev = _events(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism * 2
+    ev = _events(spark, sf_dir).repartition(par, "user_id")
     hist = history_arrays(
         ev, "event_type", "value", conv="user_id", order_by=("ts", "event_id"),
         max_history=256,  # lossless: max 11 same-user events per 1d window

@@ -228,7 +228,10 @@ def run_scaling() -> None:
     sf = os.environ.get("SPARK_GRAFT_SCALE_SF", "4")
     results = {}
     walls: dict[int, list[float]] = {lo: [], hi: []}
-    for cores in (lo, hi, lo, hi):
+    # 3 interleaved reps per level: the host is hypervisor-shared and
+    # noise windows can last minutes — per-level min over 3 spread-out
+    # reps is much more likely to catch a quiet window at both levels
+    for cores in (lo, hi, lo, hi, lo, hi):
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
