@@ -699,8 +699,13 @@ def q_ann_lsh_top10(spark, sf_dir):
     import math
 
     emb = _read(spark, sf_dir, "embeddings")
-    n = emb.count()
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # one stats action sizes the hash (count + dim together); in a
+    # production pipeline these come from table statistics/config, not a
+    # per-query job
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = stats["n"], stats["d"]
     n_bits = max(2, int(math.log2(max(n, 128) / 64.0)))
 
     def hp_sign(i, j):
