@@ -1415,57 +1415,15 @@ def q_topk_docs_per_lang(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver evaluates the FIRST 50 entries in
+    # insertion order. Rounds 1-2 green-checked the 50 longest-standing
+    # queries (CORRECTNESS_r01/r02); round 3 rotates the 17 queries that
+    # had not yet received a driver row — plus this round's new queries —
+    # into the window, and moves 17+ queries with existing green rows from
+    # r02 to the tail. Every query keeps local oracle coverage via
+    # tools/check_oracle.py regardless of position.
     qs = {
-        "rolling_count_1h": q_rolling_count_1h,
-        "rolling_sum_24h": q_rolling_sum_24h,
-        "gap_seconds": q_gap_seconds,
-        "gap_bucket_timediffnormal": q_gap_bucket,
-        "sessionize_30m": q_sessionize_30m,
-        "asof_last_purchase": q_asof_last_purchase,
-        "backfill_purchase": q_backfill_purchase,
-        "lag_lead_value": q_lag_lead_value,
-        "lookup_array_kernel_parity": q_same_type_kernel_parity,
-        "user_stats_salted": q_user_stats_salted,
-        "id_feature": q_id_feature,
-        "combo_feature": q_combo_feature,
-        "raw_bucketize": q_raw_bucketize,
-        "raw_zscore": q_raw_zscore,
-        "lookup_broadcast_dim": q_lookup_broadcast_dim,
-        "match_hit_profile": q_match_hit_profile,
-        "lookup_kv_feature": q_lookup_kv_feature,
-        "lookup_gap_kernel": q_lookup_gap_kernel,
-        "kgb_hit_flag": q_kgb_hit_flag,
-        "overlap_common": q_overlap_common,
-        "overlap_ratio": q_overlap_ratio,
-        "top_words_per_doc": q_top_words_per_doc,
-        "dedup_exact": q_dedup_exact,
-        "dedup_connected_components": q_dedup_connected_components,
-        "neardup_token_jaccard": q_neardup_token_jaccard,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "simhash": q_simhash,
-        "ann_cosine_top10": q_ann_cosine_top10,
-        "ann_lsh_top10": q_ann_lsh_top10,
-        "text_stats": q_text_stats,
-        "topk_docs_per_lang": q_topk_docs_per_lang,
-        "lang_id_ngram": q_lang_id,
-        "token_count_regex": q_token_count_regex,
-        "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
-        "neardup_cosine": q_neardup_cosine,
-        "session_stats": q_session_stats,
-        "asof_tolerance_1h": q_asof_tolerance,
-        "match_multihit": q_match_multihit,
-        "match_cos": q_match_cos,
-        "combo_multivalue": q_combo_multivalue,
-        "lookup_v2_hashed": q_lookup_v2_hashed,
-        "lookup_v3_multidim": q_lookup_v3_multidim,
-        "lookup_legacy_v2_decode": q_lookup_legacy_v2,
-        "overlap_diff": q_overlap_diff,
-        "preclick_match_count": q_preclick_match_count,
-        "id_feature_multivalue": q_id_feature_multivalue,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_wav_decode": q_multimodal_wav,
-        "config_compiled": q_config_compiled,
+        # --- never driver-checked before round 3 ---
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
@@ -1483,6 +1441,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
         "asof_pandas_parity": q_asof_pandas_parity,
+        # --- changed or added in round 3 (need fresh driver rows) ---
+        "dedup_connected_components": q_dedup_connected_components,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash": q_simhash,
+        # --- stable queries keeping driver coverage this round ---
+        "rolling_count_1h": q_rolling_count_1h,
+        "rolling_sum_24h": q_rolling_sum_24h,
+        "gap_seconds": q_gap_seconds,
+        "sessionize_30m": q_sessionize_30m,
+        "asof_last_purchase": q_asof_last_purchase,
+        "backfill_purchase": q_backfill_purchase,
+        "lag_lead_value": q_lag_lead_value,
+        "lookup_array_kernel_parity": q_same_type_kernel_parity,
+        "user_stats_salted": q_user_stats_salted,
+        "id_feature": q_id_feature,
+        "combo_feature": q_combo_feature,
+        "raw_bucketize": q_raw_bucketize,
+        "raw_zscore": q_raw_zscore,
+        "lookup_broadcast_dim": q_lookup_broadcast_dim,
+        "match_hit_profile": q_match_hit_profile,
+        "lookup_kv_feature": q_lookup_kv_feature,
+        "lookup_gap_kernel": q_lookup_gap_kernel,
+        "kgb_hit_flag": q_kgb_hit_flag,
+        "overlap_common": q_overlap_common,
+        "neardup_token_jaccard": q_neardup_token_jaccard,
+        "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "lang_id_ngram": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "neardup_cosine": q_neardup_cosine,
+        "session_stats": q_session_stats,
+        "asof_tolerance_1h": q_asof_tolerance,
+        "lookup_v2_hashed": q_lookup_v2_hashed,
+        "lookup_legacy_v2_decode": q_lookup_legacy_v2,
+        # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "gap_bucket_timediffnormal": q_gap_bucket,
+        "overlap_ratio": q_overlap_ratio,
+        "top_words_per_doc": q_top_words_per_doc,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
+        "token_count_regex": q_token_count_regex,
+        "match_multihit": q_match_multihit,
+        "match_cos": q_match_cos,
+        "combo_multivalue": q_combo_multivalue,
+        "lookup_v3_multidim": q_lookup_v3_multidim,
+        "overlap_diff": q_overlap_diff,
+        "preclick_match_count": q_preclick_match_count,
+        "id_feature_multivalue": q_id_feature_multivalue,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_wav_decode": q_multimodal_wav,
+        "config_compiled": q_config_compiled,
     }
 
     def wrap(fn):
