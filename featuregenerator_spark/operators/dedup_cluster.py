@@ -6,19 +6,30 @@ canonical document per duplicate *cluster* — because near-duplication is
 not transitive (A~B, B~C does not imply A~C, yet all three are one
 cluster for dedup purposes).
 
-Connected components run as iterative min-label propagation over the
-edge list (the standard large-graph formulation — e.g. Hash-to-Min /
-"CC in MapReduce" family): every node repeatedly adopts the smallest
-component id among itself and its neighbors until a fixed point. Each
-round is two hash joins + one aggregation, all shuffle-partitioned on
-node id; rounds converge in O(log(diameter)) for the short-chain
-clusters dedup produces. DataFrames are localCheckpointed per round to
-cut the growing lineage (iterative algorithms would otherwise replan
-from the source every round).
+Connected components run as iterative min-label propagation with a
+POINTER-JUMPING step per round (label <- label of its label, the path-
+halving move of the "CC in MapReduce" / Hash-to-Min family): plain
+neighbor-min propagation moves a label one hop per round (O(diameter)
+rounds — a 31-node chain needs 30), while the jump lets the adopted
+label itself be an already-compressed one, so the covered distance
+roughly doubles per round and the loop converges in O(log diameter)
+rounds. Each round is three hash joins + one aggregation, all
+shuffle-partitioned on node id.
 
-At 100 TB the same loop runs unchanged: edges are (long, long) pairs —
-a tiny fraction of corpus bytes — and every stage is a key-partitioned
-join, so the only scale knob is shuffle partitions.
+Fault tolerance at 100 TB:
+- lineage is truncated per round via RELIABLE ``checkpoint()`` (written
+  to ``spark.sparkContext.setCheckpointDir`` — HDFS/object store on a
+  cluster; ``session.get_spark`` sets it), not ``localCheckpoint`` whose
+  blocks live on executors and die with them mid-iteration;
+- with ``resume_dir`` set, every round's labels are persisted as a
+  parquet table instead; a restarted job finds the newest complete
+  round and continues from it (kill-and-resume pinned in
+  tests/test_plans.py).
+
+The loop refuses to return silently-wrong labels: if the fixed point is
+not reached within ``max_iter`` rounds it raises (``on_nonconverged=
+"raise"``, default) — callers that checkpoint partial progress for a
+resume pass ``"ignore"``.
 """
 
 from __future__ import annotations
@@ -27,54 +38,113 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _latest_complete_round(spark, resume_dir: str) -> tuple[int, DataFrame | None]:
+    """Newest round under resume_dir with a _SUCCESS marker (committed
+    atomically by the parquet writer), or (-1, None)."""
+    import os
+
+    if not os.path.isdir(resume_dir):
+        return -1, None
+    rounds = sorted(
+        int(d.split("_")[-1])
+        for d in os.listdir(resume_dir)
+        if d.startswith("round_")
+        and os.path.exists(os.path.join(resume_dir, d, "_SUCCESS"))
+    )
+    if not rounds:
+        return -1, None
+    last = rounds[-1]
+    return last, spark.read.parquet(f"{resume_dir}/round_{last:04d}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
-    checkpoint_every: int = 1,
+    max_iter: int = 25,
+    resume_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
-    """Edge list -> (node, component) with component = min node id
-    reachable through the undirected edge set.
+    """Edge list -> (node, comp) with comp = min node id reachable through
+    the undirected edge set.
 
-    Fixed-point iteration with an early-exit convergence check (count of
-    changed labels per round — one action per round, the driver only sees
-    the counter, never the data).
+    Fixed-point iteration (neighbor-min + pointer jump) with an early-exit
+    convergence check: one count action per round, and the driver only
+    ever sees the 0/1 changed signal, never data. ``max_iter=25`` covers
+    diameters up to ~2^25 given the O(log d) jump — far beyond any real
+    near-dup graph; hitting it means something is wrong, so the default
+    is to raise rather than return partial labels.
     """
+    if on_nonconverged not in ("raise", "ignore"):
+        raise ValueError(f"on_nonconverged must be raise|ignore: {on_nonconverged}")
+    spark = edges.sparkSession
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct()
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
+    start_round = 0
+    labels = None
+    if resume_dir:
+        last, resumed = _latest_complete_round(spark, resume_dir)
+        if resumed is not None:
+            start_round, labels = last + 1, resumed.select("node", "comp")
+    if labels is None:
+        labels = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
 
-    for i in range(max_iter):
-        # candidate labels flowing across edges this round
+    changed = -1
+    for i in range(start_round, max_iter):
+        # 1) neighbor-min: smallest label among my neighbors this round
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("ncomp") < F.col("comp")).alias("changed"),
-            )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("pcomp"),
+            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
         )
-        if checkpoint_every and (i % checkpoint_every == 0):
+        # 2) pointer jump: adopt my (new) label's OWN label from the start
+        #    of the round — labels only decrease and always stay inside the
+        #    component, so this is safe and halves remaining chain length.
+        jump = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("jcomp")
+        )
+        new_labels = stepped.join(jump, "comp", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("jcomp", "comp")).alias("comp"),
+            (
+                F.least(F.col("comp"), F.coalesce("jcomp", "comp"))
+                < F.col("pcomp")
+            ).alias("changed"),
+        )
+        if resume_dir:
+            # per-round persisted labels: checkpoint + resume token in one
+            path = f"{resume_dir}/round_{i:04d}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
+        elif spark.sparkContext.getCheckpointDir():
+            # reliable checkpoint: survives executor loss mid-iteration
+            # (localCheckpoint blocks die with their executor)
+            new_labels = new_labels.checkpoint(eager=False)
+        else:
             new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    if changed != 0 and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(labels still changing); the graph is larger/denser than the "
+            "iteration budget — raise max_iter or pass on_nonconverged="
+            "'ignore' with a resume_dir to continue across jobs"
+        )
     return labels
 
 
@@ -82,7 +152,7 @@ def dedup_clusters(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
     """(component, canonical_id=min doc, cluster_size) per near-dup
     cluster — the keep-one-drop-rest decision table for dedup."""

@@ -49,4 +49,12 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # reliable checkpoint target for iterative algorithms (connected
+    # components): localCheckpoint blocks die with their executor, so
+    # iterative jobs checkpoint here instead. On a cluster this is an
+    # HDFS/object-store URI via SPARK_GRAFT_CHECKPOINT_DIR.
+    if not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/fg_checkpoints")
+        )
     return spark
