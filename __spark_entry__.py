@@ -478,6 +478,39 @@ def q_dedup_connected_components(spark, sf_dir):
     )
 
 
+def q_dedup_cc_lsh(spark, sf_dir):
+    """Scale-path dedup clustering: MinHash-LSH candidate pairs (already
+    re-verified with exact Jaccard >= 0.8 in-query), restricted to
+    same-lang like the exact edge definition, fed into pointer-jumping
+    connected components. This removes the O(n^2) exact pair scan from
+    the dedup pipeline's scale path — q_neardup_token_jaccard remains
+    only as the oracle baseline.
+
+    Hash-dependent edge source -> rows-only driver check; cluster-level
+    parity vs the exact-edge CC is pinned in tests/test_invariants.py
+    (zero label mismatches on common nodes, node coverage >= 99% at
+    sf0.01 — the small shortfall is banding recall on pairs whose
+    Jaccard sits exactly at the 0.8 threshold)."""
+    from featuregenerator_spark.operators.dedup_cluster import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    la = docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("lang", "lang_a")
+    lb = docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("lang", "lang_b")
+    edges = (
+        # no broadcast hint: the (doc_id, lang) side is corpus-sized at
+        # 100 TB; AQE broadcasts it while it fits and shuffles beyond
+        q_minhash_lsh_candidates(spark, sf_dir)
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
     re-checking exact Jaccard on the candidates (no SQL oracle: hash
@@ -1443,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_pandas_parity": q_asof_pandas_parity,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
+        "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         # --- stable queries keeping driver coverage this round ---
@@ -1475,8 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
         "lookup_v2_hashed": q_lookup_v2_hashed,
-        "lookup_legacy_v2_decode": q_lookup_legacy_v2,
         # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "lookup_legacy_v2_decode": q_lookup_legacy_v2,
         "gap_bucket_timediffnormal": q_gap_bucket,
         "overlap_ratio": q_overlap_ratio,
         "top_words_per_doc": q_top_words_per_doc,

@@ -177,3 +177,27 @@ def test_connected_components_kill_and_resume(spark, tmp_path):
     }
     assert got == want
     assert len(sorted(d for d in os.listdir(rdir) if d.startswith("round_"))) > 2
+
+
+def test_dedup_cc_lsh_parity_with_exact_cc(spark):
+    """The scale-path dedup clustering (LSH candidate edges -> CC) must
+    agree with the exact-edge CC at cluster level: every node present in
+    both gets the SAME component label, and node coverage is >= 99%
+    (the shortfall is LSH banding recall on pairs sitting exactly at the
+    0.8 Jaccard threshold — measured 322/324 at sf0.01)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["doc_id"], r["component"])
+        for r in m.q_dedup_connected_components(spark, sf).collect()
+    }
+    lsh = {
+        (r["doc_id"], r["component"])
+        for r in m.q_dedup_cc_lsh(spark, sf).collect()
+    }
+    ne, nl = dict(exact), dict(lsh)
+    common = set(ne) & set(nl)
+    assert len(nl) >= 0.99 * len(ne), (len(nl), len(ne))
+    mismatches = [n for n in common if ne[n] != nl[n]]
+    assert mismatches == [], mismatches[:10]
