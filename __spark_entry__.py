@@ -88,6 +88,22 @@ def q_rolling_sum_24h(spark, sf_dir):
     return out.select("event_id", F.round("s", 4).alias("sum_value_24h"))
 
 
+def q_rolling_min_exclusive(spark, sf_dir):
+    """Exclusive rolling min (include_current=False): tied-timestamp
+    peers are in the window (pv_ts - ts = 0), only the row itself is
+    excluded. Oracle = DuckDB's RANGE frame with EXCLUDE CURRENT ROW —
+    the exact frame-exclusion semantics Spark's window API lacks, which
+    the two-pass tie-group form in plans/temporal.py reconstructs."""
+    from featuregenerator_spark.plans import temporal
+
+    ev = _events(spark, sf_dir)
+    out = temporal.with_rolling_agg(
+        ev, 3600.0, F.col("value"), "min", "m",
+        conv="user_id", include_current=False,
+    )
+    return out.select("event_id", F.round("m", 4).alias("min_value_1h"))
+
+
 def q_gap_seconds(spark, sf_dir):
     ev = _events(spark, sf_dir)
     gap = F.col("ts_sec") - F.lag("ts_sec").over(_W_USER())
@@ -1479,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
+        "rolling_min_exclusive": q_rolling_min_exclusive,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
@@ -1508,8 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
-        "lookup_v2_hashed": q_lookup_v2_hashed,
         # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "lookup_v2_hashed": q_lookup_v2_hashed,
         "lookup_legacy_v2_decode": q_lookup_legacy_v2,
         "gap_bucket_timediffnormal": q_gap_bucket,
         "overlap_ratio": q_overlap_ratio,
@@ -1569,6 +1586,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4)
                    AS sum_value_24h
+            FROM events""",
+        "rolling_min_exclusive": """
+            SELECT event_id,
+                   round(min(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                        EXCLUDE CURRENT ROW), 4)
+                   AS min_value_1h
             FROM events""",
         "gap_seconds": f"""
             SELECT event_id, round({gap}, 6) AS gap_seconds FROM events""",

@@ -138,9 +138,11 @@ def with_rolling_agg(
     wrongly exclude every row within 1 *second*, not just self, for
     sub-second timestamps. Instead: sum/avg subtract the current row's own
     contribution from the [−Δ, 0] frame (exact, keeps O(1) range-frame
-    state); min/max order by integer *microseconds* so the −1 bound
-    excludes only rows within 1 µs of the current one (exact down to the
-    data's real timestamp resolution).
+    state); min/max combine a strictly-earlier µs-resolution range frame
+    with a per-tie-group pass so peers sharing the current row's exact
+    timestamp ARE included (pv_ts - ts = 0 is inside any timediff window,
+    Combiner.h; only the row itself is excluded — same contract as the
+    sum/avg path).
     """
     if include_current:
         w = (
@@ -161,15 +163,34 @@ def with_rolling_agg(
             return df.withColumn(out, s)
         n = F.count(value).over(w) - F.when(value.isNotNull(), 1).otherwise(0)
         return df.withColumn(out, F.when(n > 0, s / n))
-    # min/max: no algebraic self-exclusion — use a µs-resolution range key
-    us = (F.col(ts_sec) * 1_000_000).cast("long")
-    w = (
+    # min/max: no algebraic self-exclusion. Two window passes over the
+    # same hash(conv) partitioning (one Exchange):
+    #   1) extreme over rows at strictly earlier µs timestamps
+    #      (rangeBetween -Δµs..-1 on an integer-µs order key);
+    #   2) extreme over the current row's exact-timestamp TIE GROUP
+    #      excluding self: the group's extreme unless the current row is
+    #      its unique extreme, in which case the second extreme.
+    # least/greatest (null-skipping) merges the two.
+    fn = {"min": F.min, "max": F.max}[agg]
+    df = df.withColumn("__us", (F.col(ts_sec) * 1_000_000).cast("long"))
+    w_us = (
         Window.partitionBy(conv)
-        .orderBy(us)
+        .orderBy(F.col("__us"))
         .rangeBetween(-int(window_seconds) * 1_000_000, -1)
     )
-    fn = {"min": F.min, "max": F.max}[agg]
-    return df.withColumn(out, fn(value).over(w))
+    w_tie = Window.partitionBy(conv, "__us")
+    df = df.withColumn("__mg", fn(value).over(w_tie))
+    is_ext = value == F.col("__mg")
+    cnt_ext = F.sum(F.when(is_ext, 1).otherwise(0)).over(w_tie)
+    second = fn(F.when(~is_ext, value)).over(w_tie)
+    tie_excl = F.when(value.isNull() | ~is_ext, F.col("__mg")).otherwise(
+        F.when(cnt_ext > 1, F.col("__mg")).otherwise(second)
+    )
+    earlier = fn(value).over(w_us)
+    merged = (
+        F.least(earlier, tie_excl) if agg == "min" else F.greatest(earlier, tie_excl)
+    )
+    return df.withColumn(out, merged).drop("__us", "__mg")
 
 
 def with_gap_since_match(

@@ -259,3 +259,47 @@ def test_asof_join_pandas_null_left_ts(spark):
     )
     wgot = {r["id"]: (r["v"], r["asof_ts"]) for r in win.collect()}
     assert got == wgot
+
+
+def test_rolling_agg_exclusive_tied_timestamps(spark):
+    """include_current=False on tied timestamps: peers sharing the exact
+    timestamp are IN the window (pv_ts - ts = 0 <= timediff) for min/max
+    just like the sum/avg self-subtraction path; only the row itself is
+    excluded. (Round-2 regression: the -1 µs frame bound dropped ALL
+    tied peers, giving min=NULL where sum saw the peer.)"""
+    import pytest
+
+    from featuregenerator_spark.plans import temporal
+
+    rows = [
+        ("c", 0, 100.0, 5.0),
+        ("c", 1, 100.0, 7.0),    # exact tie with turn 0
+        ("c", 2, 100.0, 5.0),    # duplicate-extreme tie
+        ("c", 3, 200.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts_sec double, v double"
+    )
+    want = {
+        "min": {0: 5.0, 1: 5.0, 2: 5.0, 3: 5.0},
+        "max": {0: 7.0, 1: 5.0, 2: 7.0, 3: 7.0},
+        "sum": {0: 12.0, 1: 10.0, 2: 12.0, 3: 17.0},
+        "avg": {0: 6.0, 1: 5.0, 2: 6.0, 3: 17.0 / 3.0},
+    }
+    for agg, per_turn in want.items():
+        out = temporal.with_rolling_agg(
+            df, 3600.0, F.col("v"), agg, "o", include_current=False
+        )
+        got = {r["turn_idx"]: r["o"] for r in out.collect()}
+        for k, w in per_turn.items():
+            assert got[k] == pytest.approx(w), (agg, k, got[k])
+
+    # single row: nothing else in window -> null for min/max
+    one = spark.createDataFrame(
+        [("c", 0, 50.0, 9.0)], "conv_id string, turn_idx int, ts_sec double, v double"
+    )
+    for agg in ("min", "max"):
+        out = temporal.with_rolling_agg(
+            one, 3600.0, F.col("v"), agg, "o", include_current=False
+        )
+        assert out.collect()[0]["o"] is None
