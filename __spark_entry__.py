@@ -625,8 +625,62 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     ).filter(F.col("jaccard") >= 0.8)
 
 
+def _simhash_pack(hs):
+    """Arrow-batched bit fold: token-hash arrays -> packed 64-bit SimHash.
+
+    One numpy pass per batch: flatten every doc's int64 hashes, expand to
+    an (n_tokens x 64) bit matrix, segment-sum per doc with
+    np.add.reduceat, threshold (#ones*2 - n > 0), pack bits. Bit-exact
+    with the 64-aggregate higher-order-function formulation it replaced
+    (parity pinned in tests/test_plans.py) at ~1/64th the scan count."""
+    import numpy as np
+    import pandas as pd
+
+    lengths = np.array([len(x) if x is not None else 0 for x in hs], dtype=np.int64)
+    sums = np.zeros((len(lengths), 64), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    if lengths.sum():
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hs if x is not None and len(x)]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        nz = np.nonzero(lengths)[0]
+        starts = np.concatenate(([0], np.cumsum(lengths[nz])[:-1]))
+        sums[nz] = np.add.reduceat(bits, starts, axis=0)
+    votes = 2 * sums - lengths[:, None]  # (+1 per set bit, -1 per clear)
+    packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    ).view(np.int64)
+    out = pd.Series(packed)
+    none_mask = np.array([x is None for x in hs], dtype=bool)
+    if none_mask.any():  # null token array (null text) -> null fingerprint
+        out = out.astype("object")
+        out[none_mask] = None
+    return out
+
+
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprint per document (rows-only check)."""
+    """64-bit SimHash fingerprint per document (rows-only check).
+
+    Tokens hash ONCE in the JVM (xxhash64 inside whole-stage codegen);
+    the 64-way bit vote folds in a single vectorized pandas_udf over the
+    hash arrays — one scan of the token array instead of the 64
+    interpreted F.aggregate scans of the previous formulation."""
+    from pyspark.sql.functions import pandas_udf
+
+    sim_udf = pandas_udf(_simhash_pack, "long")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    hashed = docs.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+    )
+    return hashed.select("doc_id", sim_udf(F.col("th")).alias("simhash"))
+
+
+def q_simhash_hof_reference(spark, sf_dir):
+    """The round-2 64-aggregate HOF SimHash, kept ONLY as the parity
+    reference for tests (not registered with the driver)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split("text", " ").alias("toks")
     )

@@ -157,3 +157,52 @@ def test_simhash_neardup_banded_equijoin_and_parity(spark):
     got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in banded.collect()}
     want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
     assert got == want
+
+
+def test_simhash_single_pass_matches_hof_reference(spark):
+    """The vectorized pandas_udf SimHash must be bit-exact with the
+    64-aggregate HOF formulation it replaced, including empty docs."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    new = {r["doc_id"]: r["simhash"] for r in entry.q_simhash(spark, sf_dir).collect()}
+    old = {
+        r["doc_id"]: r["simhash"]
+        for r in entry.q_simhash_hof_reference(spark, sf_dir).collect()
+    }
+    assert new == old and len(new) > 0
+
+    # synthetic edge rows: empty-ish text and single token
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "x y x")], "doc_id long, text string"
+    )
+    from __spark_entry__ import _simhash_pack
+    from pyspark.sql.functions import pandas_udf
+
+    sim_udf = pandas_udf(_simhash_pack, "long")
+    hashed = df.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    got = {r["doc_id"]: r["simhash"] for r in hashed.select(
+        "doc_id", sim_udf(F.col("th")).alias("simhash")).collect()}
+    # reference: per-row python recompute
+    import numpy as np
+
+    def ref(tokens):
+        hs = {r["h"]: None for r in []}
+        row = spark.createDataFrame([(tokens,)], "toks array<string>").select(
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+        ).collect()[0]["th"]
+        arr = np.array(row, dtype=np.int64).view(np.uint64)
+        votes = [
+            int(((arr >> np.uint64(i)) & np.uint64(1)).sum()) * 2 - len(arr)
+            for i in range(64)
+        ]
+        u = sum((1 << i) for i in range(64) if votes[i] > 0)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for did, toks in ((1, ["a"]), (2, [""]), (3, ["x", "y", "x"])):
+        assert got[did] == ref(toks), did
