@@ -1112,6 +1112,53 @@ def q_lookup_legacy_v2(spark, sf_dir):
     )
 
 
+def q_lookup_legacy_v3(spark, sf_dir):
+    """Decode-only path for reference V3-header encoded maps
+    (LookupFeatureDataType.h:8-36): header byte -> (key width, value
+    width), sliced-murmur key block, per-key dim-values block. Two legs
+    cover both value families: an 8-bit integer layout (small integral
+    values -> exact closed form) and a float32 dim=2 layout (oracle =
+    f32-cast closed form). Golden vectors from
+    LookupFeatureFunctionV3Test.cpp pinned in tests/test_functions.py."""
+    from featuregenerator_spark.operators.lookup_legacy import (
+        lookup_legacy_v3,
+        synth_legacy_v3_payloads,
+    )
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size", "p_type"
+    )
+    enc8 = synth_legacy_v3_payloads(
+        part,
+        {"size": [F.col("p_size")], "clen": [F.length("p_type")]},
+        dim=1,
+        value_type=0,  # 8-bit: all values < 255 and integral
+        out="pay8",
+    )
+    out8 = lookup_legacy_v3(
+        enc8, "pay8", ["size", "clen", "missing"], dim=1, out_prefix="v8_"
+    )
+    encf = synth_legacy_v3_payloads(
+        out8.drop("pay8"),
+        {
+            "ps": [F.col("p_retailprice"), F.col("p_size").cast("double")],
+            "tax": [F.col("p_size") * 0.5, F.lit(1.0)],
+        },
+        dim=2,
+        value_type=2,  # float32
+        out="payf",
+    )
+    outf = lookup_legacy_v3(
+        encf, "payf", ["ps", "tax", "missing"], dim=2, out_prefix="vf_"
+    )
+    return outf.select(
+        "p_partkey",
+        F.round("v8_0", 4).alias("v3_int_sum"),
+        F.round("vf_0", 4).alias("v3_f32_d0"),
+        F.round("vf_1", 4).alias("v3_f32_d1"),
+    )
+
+
 def q_overlap_diff(spark, sf_dir):
     """overlap_feature diff_word / hit_ornot / is_equal trio."""
     from featuregenerator_spark.operators.overlap_feature import overlap_feature
@@ -1550,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
         "rolling_min_exclusive": q_rolling_min_exclusive,
+        "lookup_legacy_v3_decode": q_lookup_legacy_v3,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
@@ -1578,8 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         "session_stats": q_session_stats,
-        "asof_tolerance_1h": q_asof_tolerance,
         # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "asof_tolerance_1h": q_asof_tolerance,
         "lookup_v2_hashed": q_lookup_v2_hashed,
         "lookup_legacy_v2_decode": q_lookup_legacy_v2,
         "gap_bucket_timediffnormal": q_gap_bucket,
@@ -1949,6 +1997,16 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
                          + CAST(CAST(p_size AS REAL) AS DOUBLE), 4)
                    AS legacy_sum
+            FROM part""",
+        "lookup_legacy_v3_decode": """
+            SELECT p_partkey,
+                   round(CAST(p_size + length(p_type) AS DOUBLE), 4)
+                   AS v3_int_sum,
+                   round(CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+                         + CAST(CAST(p_size * 0.5 AS REAL) AS DOUBLE), 4)
+                   AS v3_f32_d0,
+                   round(CAST(CAST(p_size AS REAL) AS DOUBLE) + 1.0, 4)
+                   AS v3_f32_d1
             FROM part""",
         "overlap_diff": """
             SELECT doc_id,
