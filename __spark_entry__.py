@@ -1225,6 +1225,29 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("asset_id", "kind", "n_bytes", "payload_hash")
 
 
+def q_multimodal_image(spark, sf_dir):
+    """REAL image codec end-to-end: deterministic RGB images written as
+    byte-exact 24bpp BMP files (pure numpy writer) and decoded back by
+    the pure-numpy BMP reader inside mapInPandas. The synth pattern
+    (constant R, column-gradient G, row-gradient B) gives every channel
+    mean a closed form the oracle states exactly."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_bmp_assets,
+        synth_bmp_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = decode_bmp_assets(synth_bmp_assets(docs))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
     (stdlib wave writer) decoded back by the stdlib wave reader inside
@@ -1598,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "rolling_min_exclusive": q_rolling_min_exclusive,
         "lookup_legacy_v3_decode": q_lookup_legacy_v3,
+        "multimodal_image_decode": q_multimodal_image,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
@@ -1625,8 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
-        "session_stats": q_session_stats,
         # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
         "lookup_v2_hashed": q_lookup_v2_hashed,
         "lookup_legacy_v2_decode": q_lookup_legacy_v2,
@@ -2048,6 +2072,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS asset_id, 'image' AS kind,
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    md5(text) AS payload_hash
+            FROM documents""",
+        "multimodal_image_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(16 + doc_id % 8 AS INTEGER) AS width,
+                   CAST(12 + doc_id % 5 AS INTEGER) AS height,
+                   round(CAST(doc_id % 251 AS DOUBLE), 6) AS mean_r,
+                   round((16 + doc_id % 8 - 1) / 2.0, 6) AS mean_g,
+                   round((12 + doc_id % 5 - 1) / 2.0, 6) AS mean_b
             FROM documents""",
         "multimodal_wav_decode": """
             SELECT doc_id AS asset_id,

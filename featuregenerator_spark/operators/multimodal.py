@@ -1,12 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real (schema, Arrow batching over mapInPandas,
-partition sizing). The audio path is a REAL codec end-to-end: WAV
-(RIFF/WAVE + PCM) parses with the stdlib ``wave`` module — see
-``decode_wav_assets``. Image/video codecs need libraries this container
-lacks, so those calls are stubbed behind ``NotImplementedError`` / a
-deterministic fake; on a real cluster, swap them for PIL/ffmpeg calls —
-the batch shape and UDF signatures stay unchanged.
+partition sizing). Two codec paths are REAL end-to-end: audio — WAV
+(RIFF/WAVE + PCM) via the stdlib ``wave`` module (``decode_wav_assets``)
+— and image — 24-bit BMP via a pure-numpy reader/writer
+(``decode_bmp_assets`` / ``resize_images``). Video decode needs ffmpeg,
+which this container lacks, so that call stays stubbed behind
+``NotImplementedError``; on a real cluster swap in PIL/ffmpeg — the
+batch shape and UDF signatures stay unchanged.
 
 Layout convention (one row per asset):
     asset_id:long, kind:string('image'|'audio'|'video'),
@@ -162,12 +163,146 @@ def decode_wav_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     return assets.mapInPandas(decode, schema=WAV_FEATURE_DDL)
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub: real impl decodes, resizes, re-encodes via PIL in mapInPandas."""
-    raise NotImplementedError(
-        "image codec not available in this container; wire PIL in "
-        "decode_assets-style mapInPandas on a real cluster"
+# ---------------------------------------------------------------------------
+# REAL image codec path: 24-bit uncompressed BMP (BITMAPFILEHEADER +
+# BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes) needs no
+# external library, so — like the WAV path above — it runs end-to-end
+# here. JPEG/PNG swap in PIL with the same batch shape on a cluster.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_encode(rgb) -> bytes:
+    """(H, W, 3) uint8 RGB -> byte-exact 24bpp BMP file."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    row_len = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def _bmp_decode(buf: bytes):
+    """24bpp BMP bytes -> (H, W, 3) uint8 RGB (top-down)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    _, w, h = struct.unpack_from("<Iii", buf, 14)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down, hh = h < 0, abs(h)
+    row_len = (w * 3 + 3) & ~3
+    data = np.frombuffer(buf, dtype=np.uint8, count=row_len * hh, offset=off)
+    rgb = data.reshape(hh, row_len)[:, : w * 3].reshape(hh, w, 3)[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def synth_bmp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic RGB test images, one real BMP payload per id:
+    W = 16 + id%8, H = 12 + id%5; R constant (id % 251), G = column
+    index, B = row index — chosen so the channel means have closed
+    forms the SQL oracle can state exactly."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = 16 + i % 8, 12 + i % 5
+                rgb = np.empty((h, w, 3), dtype=np.uint8)
+                rgb[:, :, 0] = i % 251
+                rgb[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+                rgb[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+                payloads.append(_bmp_encode(rgb))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="asset_id long, kind string, payload binary")
+
+
+IMAGE_FEATURE_DDL = (
+    "asset_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_bmp_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL image decode path: parse each binary payload with the pure-
+    numpy BMP reader inside mapInPandas and emit per-asset image features
+    (dimensions + per-channel means)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for aid, payload in zip(chunk["asset_id"], chunk["payload"]):
+                    rgb = _bmp_decode(bytes(payload))
+                    means = rgb.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            int(aid), int(rgb.shape[1]), int(rgb.shape[0]),
+                            float(means[0]), float(means[1]), float(means[2]),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id", "width", "height",
+                        "mean_r", "mean_g", "mean_b",
+                    ],
+                )
+
+    return assets.mapInPandas(decode, schema=IMAGE_FEATURE_DDL)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, batch_rows: int = 256
+) -> DataFrame:
+    """Decode each BMP payload, nearest-neighbor resample to
+    (width, height) with numpy index maps, re-encode as BMP — same
+    columns out as in. PIL's Image.resize swaps in for JPEG/PNG inputs
+    with the identical batch shape."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows].copy()
+                out = []
+                for payload in chunk["payload"]:
+                    rgb = _bmp_decode(bytes(payload))
+                    h, w, _ = rgb.shape
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    out.append(_bmp_encode(rgb[np.ix_(ys, xs)]))
+                chunk["payload"] = out
+                yield chunk
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in assets.schema.fields
+    )
+    return assets.mapInPandas(resize, schema=schema)
 
 
 def sample_video_frames(assets: DataFrame, every_n: int) -> DataFrame:
