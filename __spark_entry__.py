@@ -527,7 +527,7 @@ def q_dedup_cc_lsh(spark, sf_dir):
     )
 
 
-def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
+def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=None):
     """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
     re-checking exact Jaccard on the candidates (no SQL oracle: hash
     functions are engine-specific; driver records rows-only).
@@ -537,8 +537,12 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     with more than bucket_cap members are dropped before pairing, bounding
     per-bucket work at cap^2. The default is lossless on the test corpora
     (largest real near-dup cluster bucket: 262 @ sf0.01, 2578 @ sf0.1 —
-    verified same output capped vs uncapped); production tightens it per
-    corpus and reports the dropped-bucket count as a job metric."""
+    verified same output capped vs uncapped). Capped runs are AUDITABLE:
+    the bucket-size aggregation carries an observed metric
+    ``minhash_lsh_buckets`` = (dropped_buckets, total_buckets), surfaced
+    through QueryExecutionListener / the Spark UI per job, or read
+    directly by passing a pyspark Observation (pinned in
+    tests/test_invariants.py)."""
     n_hashes, bands = 16, 4  # 4 rows per band
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -590,6 +594,16 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000):
     # partials) and keep only rows in buckets <= cap; AQE broadcasts the
     # small filtered-sizes side of the semi-join.
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    metric_cols = (
+        F.coalesce(
+            F.sum((F.col("bsz") > bucket_cap).cast("long")), F.lit(0)
+        ).alias("dropped_buckets"),
+        F.count(F.lit(1)).alias("total_buckets"),
+    )
+    if observation is not None:
+        sizes = sizes.observe(observation, *metric_cols)
+    else:
+        sizes = sizes.observe("minhash_lsh_buckets", *metric_cols)
     banded = banded.join(
         sizes.filter(F.col("bsz") <= bucket_cap).select("band", "bucket"),
         ["band", "bucket"],

@@ -100,9 +100,22 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
         if params.get("needDiscrete") and params.get("isOptimized"):
             raise ValueError(f"{name}: discrete and optimized are exclusive")
         if params.get("needWeighting") and params.get("isOptimized"):
-            # the reference rejects this combination too
-            # (LookupFeatureFunction.cpp:226-229)
+            # DELIBERATELY STRICTER than the reference: it errors only
+            # when needDiscrete is also set and silently IGNORES
+            # weighting on the dense path (LookupFeatureFunction.cpp:
+            # 215-240); a silently-dropped option is a config bug, so we
+            # reject the combination outright.
             raise ValueError(f"{name}: weighting and optimized are exclusive")
+        if (
+            ftype == "lookup_feature"
+            and params.get("isOptimized")
+            and "map" not in params
+            and "key" not in params
+        ):
+            raise ValueError(
+                f"{name}: isOptimized lookup_feature needs a 'map' (or "
+                "legacy 'key') input slot carrying the values array"
+            )
         specs.append(FeatureSpec(ftype, name, params))
     return specs
 

@@ -201,3 +201,26 @@ def test_dedup_cc_lsh_parity_with_exact_cc(spark):
     assert len(nl) >= 0.99 * len(ne), (len(nl), len(ne))
     mismatches = [n for n in common if ne[n] != nl[n]]
     assert mismatches == [], mismatches[:10]
+
+
+def test_minhash_lsh_dropped_bucket_metric(spark):
+    """Capped LSH runs are auditable: the observed metric reports how
+    many band buckets the cap dropped — 0 at the default cap on the test
+    corpus, >0 under an artificially tiny cap."""
+    from pyspark.sql import Observation
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    obs_default = Observation()
+    m.q_minhash_lsh_candidates(spark, sf, observation=obs_default).count()
+    got = obs_default.get
+    assert got["dropped_buckets"] == 0 and got["total_buckets"] > 0, got
+
+    obs_tiny = Observation()
+    m.q_minhash_lsh_candidates(
+        spark, sf, bucket_cap=2, observation=obs_tiny
+    ).count()
+    tiny = obs_tiny.get
+    assert tiny["dropped_buckets"] > 0, tiny
+    assert tiny["total_buckets"] == got["total_buckets"]

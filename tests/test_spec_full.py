@@ -157,3 +157,16 @@ def test_spec_lookup_optimized_rejects_weighting(spark):
     ]}
     with pytest.raises(ValueError, match="exclusive"):
         parse_config(cfg)
+
+
+def test_spec_lookup_optimized_requires_value_slot(spark):
+    """An isOptimized lookup with neither 'map' nor legacy 'key' is a
+    config error with a NAMED message, not a KeyError at compile time."""
+    from featuregenerator_spark.spec import parse_config
+
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "bad",
+         "isOptimized": True, "combiner": "sum"},
+    ]}
+    with pytest.raises(ValueError, match="input slot"):
+        parse_config(cfg)
