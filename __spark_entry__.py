@@ -538,11 +538,12 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
     per-bucket work at cap^2. The default is lossless on the test corpora
     (largest real near-dup cluster bucket: 262 @ sf0.01, 2578 @ sf0.1 —
     verified same output capped vs uncapped). Capped runs are AUDITABLE:
-    the bucket-size aggregation carries an observed metric
-    ``minhash_lsh_buckets`` = (dropped_buckets, total_buckets), surfaced
-    through QueryExecutionListener / the Spark UI per job, or read
-    directly by passing a pyspark Observation (pinned in
-    tests/test_invariants.py)."""
+    pass a pyspark Observation and the bucket-size aggregation reports
+    (dropped_buckets, total_buckets) with the job — production dedup
+    wires this in (pinned in tests/test_invariants.py); the default path
+    omits the CollectMetrics node because it sits in a subtree the
+    pairing self-join references twice and blocks plan reuse (measured
+    5.4s -> 13.5s+ at sf0.1)."""
     n_hashes, bands = 16, 4  # 4 rows per band
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -594,16 +595,19 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
     # partials) and keep only rows in buckets <= cap; AQE broadcasts the
     # small filtered-sizes side of the semi-join.
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    metric_cols = (
-        F.coalesce(
-            F.sum((F.col("bsz") > bucket_cap).cast("long")), F.lit(0)
-        ).alias("dropped_buckets"),
-        F.count(F.lit(1)).alias("total_buckets"),
-    )
     if observation is not None:
-        sizes = sizes.observe(observation, *metric_cols)
-    else:
-        sizes = sizes.observe("minhash_lsh_buckets", *metric_cols)
+        # CollectMetrics sits inside a subtree the self-join references
+        # twice and measurably blocks plan reuse (5.4s -> 13.5s+ at
+        # sf0.1), so the audit metric attaches only when the caller asks
+        # for it — production dedup runs pass an Observation (and accept
+        # the audit overhead), the latency-critical path stays clean.
+        sizes = sizes.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("bsz") > bucket_cap).cast("long")), F.lit(0)
+            ).alias("dropped_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
     banded = banded.join(
         sizes.filter(F.col("bsz") <= bucket_cap).select("band", "bucket"),
         ["band", "bucket"],

@@ -104,6 +104,40 @@ def run_flagship(spark, sf: str) -> tuple[float, int]:
     return min(run(), run()), rows
 
 
+def run_skew_stress(spark) -> dict[str, float]:
+    """Same feature pipeline over two same-size transcript tables: one
+    with no hot key, one where a single conversation holds ~10% of all
+    rows. Evidences the layered skew strategy (salted conversation-level
+    aggregation, O(1)-state range windows, AQE skew joins): the hot-key
+    run must stay within a small factor of the uniform run, not blow up
+    quadratically or OOM. Reported as absolute walls + ratio."""
+    from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+    from featuregenerator_spark.plans.temporal import with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import synth_transcripts
+
+    shapes = {
+        # ~560k rows each; skew10's mega-conversation is ~56k rows (~10%)
+        "skew_uniform": dict(n_convs=20_000, max_turns=55, skew_conv_turns=0),
+        "skew_hot10": dict(n_convs=18_200, max_turns=55, skew_conv_turns=56_000),
+    }
+    out: dict[str, float] = {}
+    for name, shape in shapes.items():
+        path = f"/tmp/fg_bench_{name}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            tr = synth_transcripts(spark, seed=42, **shape)
+            tr.repartition(64, "conv_id").write.mode("overwrite").parquet(path)
+        tr = spark.read.parquet(path)
+        feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
+        _noop(feat)  # JIT warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop(feat)
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         return run_scaling()
@@ -143,7 +177,11 @@ def main() -> None:
     queries["flagship_transcripts"] = round(t, 3)
     turns_per_sec = rows / t if t > 0 else 0.0
 
+    skew_ratio = None
     if "--pipeline-only" not in sys.argv:
+        skew = run_skew_stress(spark)
+        queries.update(skew)
+        skew_ratio = round(skew["skew_hot10"] / skew["skew_uniform"], 3)
         qmap = entrymod.queries()
         for name in BENCH_QUERIES:
             # same treatment as the flagship: first run JIT-compiles the
@@ -170,6 +208,7 @@ def main() -> None:
                 "cores": cores,
                 "flagship_rows": rows,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
+                "skew_slowdown_ratio": skew_ratio,
             }
         )
     )
