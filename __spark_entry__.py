@@ -809,7 +809,7 @@ def q_ann_cosine_top10(spark, sf_dir):
     )
 
 
-def q_ann_lsh_top10(spark, sf_dir):
+def q_ann_lsh_top10(spark, sf_dir, n: int | None = None, dim: int | None = None):
     """Scale-path ANN: signed-random-projection LSH (deterministic
     hyperplanes), bucket count sized to the table (~64 vectors/bucket),
     multiprobe = query bucket + all Hamming-1 neighbors, exact cosine only
@@ -820,13 +820,15 @@ def q_ann_lsh_top10(spark, sf_dir):
     import math
 
     emb = _read(spark, sf_dir, "embeddings")
-    # one stats action sizes the hash (count + dim together); in a
-    # production pipeline these come from table statistics/config, not a
-    # per-query job
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
-    ).first()
-    n, dim = stats["n"], stats["d"]
+    if n is None or dim is None:
+        # fallback: one stats action sizes the hash (count + dim
+        # together). Production passes n/dim from table statistics or
+        # pipeline config and runs zero driver-side actions here.
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+        ).first()
+        n = n if n is not None else stats["n"]
+        dim = dim if dim is not None else stats["d"]
     n_bits = max(2, int(math.log2(max(n, 128) / 64.0)))
 
     def hp_sign(i, j):

@@ -224,3 +224,37 @@ def test_minhash_lsh_dropped_bucket_metric(spark):
     tiny = obs_tiny.get
     assert tiny["dropped_buckets"] > 0, tiny
     assert tiny["total_buckets"] == got["total_buckets"]
+
+
+def test_ann_lsh_config_sized_no_stats_action(spark):
+    """With n/dim supplied from config/table stats, the LSH ANN query
+    plans with ZERO driver-side actions and matches the
+    stats-action-sized result exactly."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+
+    # every spark.read.parquet costs one schema/footer metadata job in
+    # Spark 4, so a config-sized plan build runs exactly that ONE job,
+    # while the stats-sized fallback adds a second (the count/dim scan)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    j0 = jobs()
+    df = m.q_ann_lsh_top10(spark, sf, n=n, dim=dim)  # plan only
+    assert jobs() - j0 == 1, "config-sized build must not run a stats action"
+    j1 = jobs()
+    m.q_ann_lsh_top10(spark, sf)
+    assert jobs() - j1 > 1, "stats-sized build runs metadata + stats jobs"
+
+    got = [(r["vec_id"], r["cos_sim"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in m.q_ann_lsh_top10(spark, sf).collect()
+    ]
+    assert got == want and len(got) == 10
