@@ -1179,6 +1179,79 @@ def q_lookup_legacy_v3(spark, sf_dir):
     )
 
 
+def q_lookup_legacy_btree(spark, sf_dir):
+    """Decode-only path for reference B-tree blocked encoded maps
+    (BTree.h:1-156, StoreMapDataBTreeVisitor.h:7-68): 12-byte header,
+    keys in BFS block order (in-order fill), values positionally paired.
+    6 keys at block_size=2 force a real multi-node tree per row; f32
+    storage makes the oracle the f32-cast closed form. Structure goldens
+    from BTreeTest.cpp pinned in tests/test_legacy_codecs.py."""
+    from featuregenerator_spark.operators.lookup_legacy import (
+        lookup_legacy_btree,
+        synth_legacy_btree_payloads,
+    )
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size", "p_type"
+    )
+    enc = synth_legacy_btree_payloads(
+        part,
+        {
+            "size": [F.col("p_size").cast("double")],
+            "clen": [F.length("p_type").cast("double")],
+            "pr": [F.col("p_retailprice")],
+            "half": [F.col("p_size") * 0.5],
+            "one": [F.lit(1.0)],
+            "neg": [-F.col("p_size").cast("double")],
+        },
+        dim=1,
+        block_size=2,
+        value_type=2,
+    )
+    out = lookup_legacy_btree(
+        enc, "payload", ["size", "pr", "one", "missing"], dim=1,
+        out_prefix="bt_",
+    )
+    return out.select(
+        "p_partkey", F.round("bt_0", 4).alias("btree_sum")
+    )
+
+
+def q_lookup_legacy_sparse(spark, sf_dir):
+    """Decode-only path for reference bitmap-sparse encoded maps
+    (LookupFeatureSparseEncoder.h:9-157): keyNum | sorted u32-sliced
+    keys | offsets | per-key MSB-first presence bitmap + non-zero
+    values. dim=2 float32 values; oracle = f32-cast closed form. Length
+    and bit-order goldens from LookupSparseTest.cpp pinned in tests."""
+    from featuregenerator_spark.operators.lookup_legacy import (
+        lookup_legacy_sparse,
+        synth_legacy_sparse_payloads,
+    )
+
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    enc = synth_legacy_sparse_payloads(
+        part,
+        {
+            "a": [F.col("p_retailprice"), F.col("p_size").cast("double")],
+            "b": [F.col("p_size") * 2 + 1, F.lit(3.0)],
+        },
+        dim=2,
+        value_type=2,
+        key_type=4,
+    )
+    out = lookup_legacy_sparse(
+        enc, "payload", ["a", "b", "missing"], dim=2, key_type=4,
+        out_prefix="sp_",
+    )
+    return out.select(
+        "p_partkey",
+        F.round("sp_0", 4).alias("sparse_d0"),
+        F.round("sp_1", 4).alias("sparse_d1"),
+    )
+
+
 def q_overlap_diff(spark, sf_dir):
     """overlap_feature diff_word / hit_ornot / is_equal trio."""
     from featuregenerator_spark.operators.overlap_feature import overlap_feature
@@ -1641,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "rolling_min_exclusive": q_rolling_min_exclusive,
         "lookup_legacy_v3_decode": q_lookup_legacy_v3,
+        "lookup_legacy_btree_decode": q_lookup_legacy_btree,
+        "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
@@ -2051,6 +2126,19 @@ def oracle_sql() -> dict[str, str]:
                    AS v3_f32_d0,
                    round(CAST(CAST(p_size AS REAL) AS DOUBLE) + 1.0, 4)
                    AS v3_f32_d1
+            FROM part""",
+        "lookup_legacy_btree_decode": """
+            SELECT p_partkey,
+                   round(CAST(CAST(p_size AS REAL) AS DOUBLE)
+                         + CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+                         + 1.0, 4) AS btree_sum
+            FROM part""",
+        "lookup_legacy_sparse_decode": """
+            SELECT p_partkey,
+                   round(CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+                         + CAST(2*p_size + 1 AS DOUBLE), 4) AS sparse_d0,
+                   round(CAST(CAST(p_size AS REAL) AS DOUBLE) + 3.0, 4)
+                   AS sparse_d1
             FROM part""",
         "overlap_diff": """
             SELECT doc_id,
