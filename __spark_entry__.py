@@ -1341,6 +1341,37 @@ def q_multimodal_image(spark, sf_dir):
     )
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video codec end-to-end: deterministic C444 YUV4MPEG2 streams
+    (pure-numpy writer) decoded + frame-sampled (every 2nd frame) by the
+    pure-numpy reader inside mapInPandas. Constant-luma-per-frame synth
+    gives the full and sampled luma means closed forms the oracle states
+    exactly."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_y4m_assets,
+        sample_video_frames,
+        synth_y4m_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    vids = synth_y4m_assets(docs)
+    full = decode_y4m_assets(vids)
+    sampled = decode_y4m_assets(sample_video_frames(vids, every_n=2)).select(
+        "asset_id",
+        F.col("n_frames").alias("sampled_frames"),
+        F.col("mean_y").alias("sampled_mean_y"),
+    )
+    return full.join(sampled, "asset_id").select(
+        "asset_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round("mean_y", 6).alias("mean_y"),
+        "sampled_frames",
+        F.round("sampled_mean_y", 6).alias("sampled_mean_y"),
+    )
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
     (stdlib wave writer) decoded back by the stdlib wave reader inside
@@ -1717,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_legacy_btree_decode": q_lookup_legacy_btree,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
+        "multimodal_video_decode": q_multimodal_video,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
@@ -2188,6 +2220,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(doc_id % 251 AS DOUBLE), 6) AS mean_r,
                    round((16 + doc_id % 8 - 1) / 2.0, 6) AS mean_g,
                    round((12 + doc_id % 5 - 1) / 2.0, 6) AS mean_b
+            FROM documents""",
+        "multimodal_video_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(8 + 2*(doc_id % 4) AS INTEGER) AS width,
+                   CAST(6 + 2*(doc_id % 3) AS INTEGER) AS height,
+                   CAST(4 + doc_id % 4 AS INTEGER) AS n_frames,
+                   round(doc_id % 200 + (4 + doc_id % 4 - 1) / 2.0, 6)
+                     AS mean_y,
+                   CAST(floor((4 + doc_id % 4 + 1) / 2.0) AS INTEGER)
+                     AS sampled_frames,
+                   round(doc_id % 200
+                         + floor((4 + doc_id % 4 + 1) / 2.0) - 1, 6)
+                     AS sampled_mean_y
             FROM documents""",
         "multimodal_wav_decode": """
             SELECT doc_id AS asset_id,
