@@ -887,6 +887,25 @@ def q_ann_lsh_top10(spark, sf_dir, n: int | None = None, dim: int | None = None)
     )
 
 
+def q_ann_ivf_top10(spark, sf_dir, dim: int = 64):
+    """Scale-path ANN #2: IVF partition pruning (operators/ann_ivf.py).
+    16 deterministic spherical-k-means centroids (1 refine iteration),
+    every vector assigned to its nearest centroid by a broadcast argmax
+    (no shuffle), query searches only the nprobe=10 nearest clusters
+    with exact cosine. Approximate by design -> rows-only check; recall
+    vs the brute-force top-10 is pinned in tests/test_invariants.py. At
+    100 TB cluster_id becomes the candidate-file partition key, so the
+    probe reads nprobe/K of the table."""
+    from featuregenerator_spark.operators.ann_ivf import ivf_build, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, dim=dim, n_centroids=16)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    return ivf_topk(assigned, centroids, query, k=10, nprobe=10)
+
+
 def q_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
@@ -1749,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_video_decode": q_multimodal_video,
+        "ann_ivf_top10": q_ann_ivf_top10,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,

@@ -52,6 +52,23 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, (recall, sorted(brute), sorted(lsh))
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """The IVF scale path (nprobe=10 of 16 clusters) must find most of
+    the true top-10. The synth embeddings are near-uniform (no cluster
+    structure), which is IVF's worst case — recall there is ~nprobe/K
+    plus query-locality; deterministic build, so the measured value is
+    stable. Approximate by design -> driver records rows-only; the
+    recall floor is pinned here instead."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    brute = {r["vec_id"] for r in qs["ann_cosine_top10"](spark, SF001).collect()}
+    ivf = {r["vec_id"] for r in qs["ann_ivf_top10"](spark, SF001).collect()}
+    assert len(brute) == 10
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, (recall, sorted(brute), sorted(ivf))
+
+
 def test_simhash_hamming_correlates_with_jaccard(spark):
     """SimHash near-dup pairs (low Hamming) must have far higher token
     Jaccard than random same-lang pairs — the property that makes simhash
