@@ -3,11 +3,15 @@
 The deployment contract of the north rule: the SAME artifact runs
 unchanged at any executor count —
 
-    spark-submit --py-files fg_spark.zip -m featuregenerator_spark.job \\
+    spark-submit --master <cluster> --py-files fg_spark.zip job.py \\
         --input  s3://.../transcripts   (parquet/Iceberg, date-partitioned)
         --output s3://.../turn_features
         [--config features.json]       (optional FeatureConfig overlay)
         [--ds-from YYYY-MM-DD --ds-to YYYY-MM-DD]
+
+(job.py is this file, shipped alongside the zip; the submit path is
+exercised end-to-end at two parallelism levels in
+tests/test_job.py::test_spark_submit_pyfiles_two_parallelism_levels)
 
 or locally: ``python -m featuregenerator_spark.job --input ... --output ...``
 

@@ -27,7 +27,15 @@ def get_spark(
     cores_env = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and cores_env:
         cores = int(cores_env)
-    master = f"local[{cores}]" if cores else "local[*]"
+    if cores:
+        master = f"local[{cores}]"
+    else:
+        # under spark-submit the master arrives via conf (--master /
+        # spark-defaults); overriding it here would silently turn a
+        # cluster submit into local[*] — respect it when present
+        from pyspark import SparkConf
+
+        master = SparkConf().get("spark.master", None) or "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
 

@@ -17,6 +17,78 @@ from featuregenerator_spark.plans.temporal import with_ts_seconds
 EXACT_COLS = [c for c in FEATURE_COLUMNS if not c.startswith("session")]
 
 
+def test_spark_submit_pyfiles_two_parallelism_levels(spark, transcripts, tmp_path):
+    """The north rule's deployment sentence, literally: the SAME
+    spark-submit --py-files artifact runs UNCHANGED at two parallelism
+    levels and produces identical committed feature rows. The engine zip
+    is the only import source (cwd is moved off the repo), so a missing
+    module in the artifact fails here, not on a cluster. Also guards the
+    get_spark master-passthrough: --master from spark-submit must win
+    over the builder default."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+    from pathlib import Path
+
+    import featuregenerator_spark
+    from featuregenerator_spark.plans import lineage
+    from featuregenerator_spark.sources.tables import write_partitioned_transcripts
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    pkgdir = Path(featuregenerator_spark.__file__).parent
+    zp = tmp_path / "fg_spark.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for p in pkgdir.rglob("*.py"):
+            z.write(p, "featuregenerator_spark/" + str(p.relative_to(pkgdir)))
+    jobfile = tmp_path / "job.py"
+    shutil.copy(pkgdir / "job.py", jobfile)
+
+    inp = str(tmp_path / "inp")
+    write_partitioned_transcripts(transcripts, inp)
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_CPUS", "PYTHONPATH")
+    }
+    results = {}
+    for master in ("local[2]", "local[4]"):
+        out = str(tmp_path / f"out_{master[6:-1]}")
+        proc = subprocess.run(
+            [
+                submit,
+                "--master", master,
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", str(zp),
+                str(jobfile),
+                "--input", inp,
+                "--output", out,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=str(tmp_path),
+            env=env,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["committed_units"] >= 1 and rec["total_rows"] > 0, rec
+        results[master] = {
+            (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in EXACT_COLS[2:])
+            for r in lineage.read_committed(spark, out).select(*EXACT_COLS).collect()
+        }
+    assert results["local[2]"] == results["local[4]"]
+    assert len(results["local[2]"]) == transcripts.count()
+
+
 def test_day_chunked_backfill_matches_full_run(spark, transcripts, tmp_path):
     from featuregenerator_spark.sources.tables import write_partitioned_transcripts
 
