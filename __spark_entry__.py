@@ -988,6 +988,42 @@ def q_neardup_cosine(spark, sf_dir):
     ).filter(F.col("cos_sim") >= 0.3)
 
 
+def q_streaming_snapshot_parity(spark, sf_dir):
+    """Structured Streaming end-to-end as a DRIVER-CHECKED query: the
+    events table rides through readStream -> applyInPandasWithState
+    (per-user running snapshot: prior-event count + gap to the previous
+    event, state carried across micro-batches) -> memory sink driven to
+    completion, and the emitted rows must equal the batch window
+    formulation (row_number/lag per user) — so the DuckDB oracle checks
+    the real streaming engine path, not a batch stand-in. Multi-batch
+    state carry-over and checkpoint resume are pinned separately in
+    tests/test_streaming_multimodal.py; the memory sink is the bounded
+    parity harness (production streams write files/Kafka)."""
+    import uuid
+
+    from featuregenerator_spark.streaming.stream_features import (
+        read_event_stream,
+        run_stream_to_memory,
+        running_event_snapshot,
+    )
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = running_event_snapshot(stream)
+    name = f"ev_snap_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    t = spark.table(name)
+    # pandas emits NaN (not NULL) for each user's first gap; align with
+    # the SQL lag() convention before the oracle compare
+    gap_col = F.when(F.isnan("gap_seconds"), F.lit(None)).otherwise(
+        F.col("gap_seconds")
+    )
+    return t.select(
+        "event_id",
+        "n_prior_events",
+        F.round(gap_col, 6).alias("gap_seconds"),
+    )
+
+
 def q_session_stats(spark, sf_dir):
     """Conversation/session-level feature vectors: per-session event count,
     duration, mean value (north_star conversation-level features)."""
@@ -1791,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_common": q_overlap_common,
         "neardup_token_jaccard": q_neardup_token_jaccard,
         "ann_cosine_top10": q_ann_cosine_top10,
+        # streaming path gets its first oracle-checked driver row (r03)
+        "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id_ngram": q_lang_id,
         "quality_score": q_quality_score,
@@ -1869,6 +1907,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "gap_seconds": f"""
             SELECT event_id, round({gap}, 6) AS gap_seconds FROM events""",
+        "streaming_snapshot_parity": f"""
+            SELECT event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - 1 AS BIGINT)
+                   AS n_prior_events,
+                   round({gap}, 6) AS gap_seconds
+            FROM events""",
         "gap_bucket_timediffnormal": f"""
             SELECT event_id,
                    CAST({_TDN_SQL.format(g=gap)} AS INTEGER) AS gap_bucket

@@ -142,6 +142,87 @@ def running_snapshot_features(stream: DataFrame) -> DataFrame:
     )
 
 
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENT_STATE_DDL = "n_events long, last_ts double"
+EVENT_OUT_DDL = "event_id long, n_prior_events long, gap_seconds double"
+
+
+def read_event_stream(
+    spark, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(path):
+        # FileStreamSource streams DIRECTORIES; the driver's test tables
+        # are single files, so stage a copy under a temp dir (tiny at
+        # test scale — production inputs are directories already)
+        staged = tempfile.mkdtemp(prefix="fg_stream_src_")
+        shutil.copy(path, staged)
+        path = staged
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def running_event_snapshot(stream: DataFrame) -> DataFrame:
+    """Per-user running snapshot over the generic events table — the same
+    ``applyInPandasWithState`` contract as ``running_snapshot_features``
+    but keyed by ``user_id`` and ordered by ``(ts, event_id)``, so its
+    output is SQL-expressible (row_number/lag per user) and the driver's
+    DuckDB oracle can check the streaming path end to end.
+
+    State per user = (events seen, last event ts); each micro-batch emits
+    one row per input event with the prior-event count and the gap to the
+    previous event, carrying state across batches. For time-ordered
+    arrival this matches the batch window formulation exactly.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n_events, last_ts = state.get
+        else:
+            n_events, last_ts = 0, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_sec = pdf["ts"].map(lambda t: t.timestamp())
+            prior = n_events + pd.RangeIndex(len(pdf))
+            prev_ts = ts_sec.shift(1)
+            if last_ts is not None and len(pdf):
+                prev_ts.iloc[0] = last_ts
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        "n_prior_events": prior,
+                        "gap_seconds": ts_sec - prev_ts,
+                    }
+                )
+            )
+            n_events += len(pdf)
+            last_ts = float(ts_sec.iloc[-1]) if len(pdf) else last_ts
+        state.update((n_events, last_ts))
+        yield from out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EVENT_OUT_DDL,
+        stateStructType=EVENT_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str):
     """Drive a bounded source to completion synchronously (tests/smoke)."""
     q = (
