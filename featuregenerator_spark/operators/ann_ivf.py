@@ -89,6 +89,9 @@ def ivf_build(
         .orderBy(F.xxhash64(F.col(id_col), F.lit(42)))
         .limit(n_centroids)
     )
+    # The unpartitioned window (WindowExec warns) runs AFTER the
+    # distributed top-K limit, i.e. over exactly n_centroids (~16) rows
+    # at any table size — numbering a handful of seeds, not the data.
     centroids = seeds.select(
         (
             F.row_number().over(
