@@ -69,20 +69,33 @@ def _assign_expr(vec: Column) -> Column:
 def ivf_build(
     emb: DataFrame,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (assigned, centroids): ``assigned`` = input + unit-normalized
     ``__nvec`` + ``cluster_id``; ``centroids`` = (cluster_id, centroid)
     with unit centroids.
+
+    ``n_centroids=None`` auto-sizes K to ~sqrt(n) (clamped to
+    [16, 4096]) — the standard IVF sizing: probe cost is
+    nprobe/K of the table plus K centroid dots, and K = sqrt(n)
+    balances the two at ~nprobe*sqrt(n) candidate rows. ``n`` comes
+    from pipeline config / table statistics; if omitted, ONE count
+    action sizes it (production passes it to keep the build
+    action-free, same contract as q_ann_lsh_top10's n/dim args).
 
     Seeds are the ``n_centroids`` rows with smallest xxhash64(id) — a
     deterministic uniform sample picked by a distributed top-K (no
     driver-side data). Each refine iteration recomputes centroids as the
     normalized per-cluster mean (k-means on the unit sphere = spherical
     k-means) with one map-side-combined aggregation of dim doubles."""
+    if n_centroids is None:
+        if n is None:
+            n = emb.count()
+        n_centroids = int(max(16, min(4096, round(n ** 0.5))))
     base = emb.withColumn("__nvec", _normalize(F.col(vec_col)))
     seeds = (
         base.select(id_col, "__nvec")
