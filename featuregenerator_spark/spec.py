@@ -97,6 +97,20 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
         bounds = params.get("bucketize_boundaries")
         if bounds and list(bounds) != sorted(bounds):
             raise ValueError(f"{name}: bucketize_boundaries must be sorted")
+        # V3's per-dimension "bucketize_multi_boundaries" ("a,b|c,d"): the
+        # reference parses it and validates per-dim sortedness
+        # (FeatureConfig.h:359-385) but NO kernel consumes it (grep over
+        # fg_lite: multiBoundaries appears only in the config class) — a
+        # vestigial option. Parity = accept, validate identically, ignore.
+        multi = params.get("bucketize_multi_boundaries")
+        if multi:
+            for dim_bounds in str(multi).split("|"):
+                vals = [float(v) for v in dim_bounds.split(",") if v != ""]
+                if vals != sorted(vals):
+                    raise ValueError(
+                        f"{name}: bucketize_multi_boundaries must be "
+                        f"sorted per dimension (got {dim_bounds!r})"
+                    )
         if params.get("needDiscrete") and params.get("isOptimized"):
             raise ValueError(f"{name}: discrete and optimized are exclusive")
         if params.get("needWeighting") and params.get("isOptimized"):

@@ -170,3 +170,27 @@ def test_spec_lookup_optimized_requires_value_slot(spark):
     ]}
     with pytest.raises(ValueError, match="input slot"):
         parse_config(cfg)
+
+
+def test_spec_v3_multi_boundaries_validated_and_vestigial(spark):
+    """bucketize_multi_boundaries ("a,b|c,d") mirrors the reference
+    exactly: the config parser validates per-dimension sortedness and
+    throws on violation (FeatureConfig.h:359-385), but no kernel
+    consumes the option (grep: multiBoundaries appears only in the
+    config class), so a sorted value is accepted and ignored."""
+    from featuregenerator_spark.spec import parse_config
+
+    ok = {"features": [
+        {"feature_type": "lookup_feature_v3", "feature_name": "v3",
+         "map": "m", "key": "k", "value_dimension": 2,
+         "bucketize_multi_boundaries": "0.5,1.5|1,2,3"},
+    ]}
+    parse_config(ok)  # accepted, ignored
+
+    bad = {"features": [
+        {"feature_type": "lookup_feature_v3", "feature_name": "v3",
+         "map": "m", "key": "k", "value_dimension": 2,
+         "bucketize_multi_boundaries": "2,1|1,2"},
+    ]}
+    with pytest.raises(ValueError, match="sorted per dimension"):
+        parse_config(bad)
