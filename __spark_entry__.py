@@ -1503,6 +1503,31 @@ def q_lookup_combo_counts(spark, sf_dir):
     return part.select("p_partkey", out.alias("combo_key"))
 
 
+def q_lookup_combo_simple(spark, sf_dir):
+    """needCombo+comboSimple kernel: ONE windowed history count crossed
+    with each `other` value (Impl.h:213-267); an empty window is a NULL
+    feature (the reference's lookupPairList.empty() error return,
+    Impl.h:227-232). History built from part columns: pair ts are
+    pv-200*p_size and pv-400*p_size, so with timediff=3600 the count is
+    2 for p_size<=9, 1 for p_size<=18, and NULL above (window empty)."""
+    from featuregenerator_spark.operators.lookup_array import lookup_combo_simple
+
+    part = _read(spark, sf_dir, "part")
+    pv = F.lit(10000.0)
+    size = F.col("p_size").cast("double")
+    out = lookup_combo_simple(
+        map_keys=F.array(F.lit("a"), F.lit("a")),
+        map_values=F.array(F.lit(1.0), F.lit(1.0)),
+        value_ts=F.array(pv - size * 200.0, pv - size * 400.0),
+        pvtime=pv,
+        keys=F.array(F.lit("a")),
+        other=F.array(F.lit("x"), F.col("p_brand")),
+        timediff=3600.0,
+        feature_name="cs",
+    )
+    return part.select("p_partkey", F.to_json(out).alias("combo_keys"))
+
+
 def q_preclick_match_words(spark, sf_dir):
     """preclick need_match mode with key output: top-20 doc words hit
     against the match set, prefixed."""
@@ -1805,10 +1830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_video_decode": q_multimodal_video,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "lookup_combo_simple": q_lookup_combo_simple,
         # --- stable queries keeping driver coverage this round ---
         "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
-        "gap_seconds": q_gap_seconds,
         "sessionize_30m": q_sessionize_30m,
         "asof_last_purchase": q_asof_last_purchase,
         "backfill_purchase": q_backfill_purchase,
@@ -1835,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        "gap_seconds": q_gap_seconds,
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
         "lookup_v2_hashed": q_lookup_v2_hashed,
@@ -2327,6 +2353,17 @@ def oracle_sql() -> dict[str, str]:
                    'pc_' || CAST(CASE WHEN p_size*100.0 <= 3600 THEN 2 ELSE 1 END
                                  AS VARCHAR) || '_1' AS combo_key
             FROM part""",
+        "lookup_combo_simple": """
+            SELECT p_partkey,
+                   CASE WHEN p_size*200.0 > 3600 THEN NULL
+                        ELSE CAST(to_json([
+                          'cs_' || cnt || '_x',
+                          'cs_' || cnt || '_' || p_brand]) AS VARCHAR)
+                   END AS combo_keys
+            FROM (SELECT p_partkey, p_size, p_brand,
+                         CAST(CASE WHEN p_size*400.0 <= 3600 THEN 2 ELSE 1 END
+                              AS VARCHAR) AS cnt
+                  FROM part)""",
         "preclick_match_words": """
             WITH wc AS (
               SELECT doc_id, word, count(*) AS cnt

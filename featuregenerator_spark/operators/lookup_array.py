@@ -209,6 +209,53 @@ def lookup_combo_counts(
     return with_prefix(key, feature_name, need_prefix)
 
 
+def lookup_combo_simple(
+    map_keys: Column,
+    map_values: Column,
+    value_ts: Column,
+    pvtime: Column,
+    keys: Column,
+    other: Column,
+    timediff: float,
+    feature_name: str,
+    need_prefix: bool = True,
+    combo_right: bool = True,
+    count1_cut: int = -1,
+    count2_cut: int = -1,
+    other_is_float: bool = False,
+) -> Column:
+    """needCombo + comboSimple path: ONE history's windowed match count
+    crossed with the ``other`` column's values — per other value emit
+    ``prefix_cnt_other`` (flipped when not combo_right) as MultiSparse
+    (Impl.h:213-267). count1_cut clips the count; count2_cut caps how
+    many other values are crossed (``maxinc``), not their magnitude.
+
+    When no history pair survives the window the reference bails out with
+    a null feature (``lookupPairList.empty()`` shares the unsupported-
+    combiner error return, Impl.h:227-232) — so we emit NULL, not
+    ``0_other`` combos.
+    """
+    pairs = _surviving_pairs(map_keys, map_values, value_ts, pvtime, timediff)
+    per = F.transform(keys, lambda k: F.size(_matches(pairs, k)))
+    cnt = F.aggregate(per, F.lit(0), lambda a, c: a + c)
+    if count1_cut > 0:
+        cnt = F.least(cnt, F.lit(count1_cut))
+    vals = F.slice(other, 1, count2_cut) if count2_cut > 0 else other
+
+    def fmt(v: Column) -> Column:
+        return fmt_float_0f(v) if other_is_float else v.cast("string")
+
+    def one(v: Column) -> Column:
+        first, second = (
+            (cnt.cast("string"), fmt(v)) if combo_right else (fmt(v), cnt.cast("string"))
+        )
+        return with_prefix(
+            F.concat_ws("_", first, second), feature_name, need_prefix
+        )
+
+    return F.when(F.size(pairs) > 0, F.transform(vals, one))
+
+
 # ---------------------------------------------------------------- no-timediff
 
 

@@ -82,6 +82,16 @@ _KNOWN_TYPES = {
 }
 
 
+def _opt(params: dict, *names, default=None):
+    """First present key wins — the reference JSON surface mixes camelCase
+    and snake_case (FeatureConfig.h:206-228: "is_optimized" but
+    "countCutThreshold"); accept both spellings everywhere."""
+    for n in names:
+        if n in params:
+            return params[n]
+    return default
+
+
 def parse_config(config: str | dict) -> list[FeatureSpec]:
     """Parse a FeatureConfig JSON document into typed specs (validated)."""
     doc = json.loads(config) if isinstance(config, str) else config
@@ -111,9 +121,10 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                         f"{name}: bucketize_multi_boundaries must be "
                         f"sorted per dimension (got {dim_bounds!r})"
                     )
-        if params.get("needDiscrete") and params.get("isOptimized"):
+        optimized = _opt(params, "isOptimized", "is_optimized")
+        if params.get("needDiscrete") and optimized:
             raise ValueError(f"{name}: discrete and optimized are exclusive")
-        if params.get("needWeighting") and params.get("isOptimized"):
+        if params.get("needWeighting") and optimized:
             # DELIBERATELY STRICTER than the reference: it errors only
             # when needDiscrete is also set and silently IGNORES
             # weighting on the dense path (LookupFeatureFunction.cpp:
@@ -122,7 +133,7 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
             raise ValueError(f"{name}: weighting and optimized are exclusive")
         if (
             ftype == "lookup_feature"
-            and params.get("isOptimized")
+            and optimized
             and "map" not in params
             and "key" not in params
         ):
@@ -130,6 +141,23 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                 f"{name}: isOptimized lookup_feature needs a 'map' (or "
                 "legacy 'key') input slot carrying the values array"
             )
+        if ftype == "lookup_feature" and params.get("needCombo"):
+            # the reference nullptr-errors at runtime on missing combo
+            # inputs (Impl.h:157-168, 215-220); we reject at config time
+            if params.get("comboSimple"):
+                if not params.get("otherExpression"):
+                    raise ValueError(
+                        f"{name}: comboSimple needs 'otherExpression'"
+                    )
+            elif not all(
+                params.get(k)
+                for k in ("map2_keys", "map2_values", "value2_timestamps")
+            ):
+                raise ValueError(
+                    f"{name}: needCombo requires map2_keys/map2_values/"
+                    "value2_timestamps (or set comboSimple with "
+                    "otherExpression)"
+                )
         specs.append(FeatureSpec(ftype, name, params))
     return specs
 
@@ -224,7 +252,7 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
             keys = col(p["key"])
             if not isinstance(schema[p["key"]], T.ArrayType):
                 keys = F.array(keys)
-        if p.get("isOptimized"):
+        if _opt(p, "isOptimized", "is_optimized"):
             from featuregenerator_spark.operators import lookup_feature as lf
 
             # the optimized path takes the values array from the
@@ -276,7 +304,28 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
                 keys=keys,
                 timediff=float(timediff),
             )
+            cut1 = _opt(p, "countCutThreshold", "count_cut_threshold", default=-1)
+            cut2 = _opt(p, "count2CutThreshold", "count2_cut_threshold", default=-1)
             if p.get("needCombo"):
+                if p.get("comboSimple"):
+                    other = col(p["otherExpression"])
+                    if not isinstance(schema[p["otherExpression"]], T.ArrayType):
+                        other = F.array(other)
+                    out = la_mod.lookup_combo_simple(
+                        map_keys=common["map_keys"],
+                        map_values=common["map_values"],
+                        value_ts=common["value_ts"],
+                        pvtime=common["pvtime"],
+                        keys=keys,
+                        other=other,
+                        timediff=float(timediff),
+                        feature_name=spec.feature_name,
+                        need_prefix=p.get("need_prefix", True),
+                        combo_right=p.get("comboRight", True),
+                        count1_cut=cut1,
+                        count2_cut=cut2,
+                    )
+                    return out.alias(spec.feature_name)
                 out = la_mod.lookup_combo_counts(
                     map_keys=common["map_keys"],
                     map_values=common["map_values"],
@@ -290,14 +339,12 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
                     feature_name=spec.feature_name,
                     need_prefix=p.get("need_prefix", True),
                     combo_right=p.get("comboRight", True),
-                    count1_cut=p.get("count_cut_threshold", -1),
-                    count2_cut=p.get("count2_cut_threshold", -1),
+                    count1_cut=cut1,
+                    count2_cut=cut2,
                 )
                 return out.alias(spec.feature_name)
             if combiner2 == "count":
-                out = la_mod.lookup_count(
-                    **common, count_cut_threshold=p.get("count_cut_threshold", -1)
-                )
+                out = la_mod.lookup_count(**common, count_cut_threshold=cut1)
             elif combiner2 in ("gap_min", "gap_max"):
                 out = la_mod.lookup_gap(
                     **common,

@@ -127,6 +127,49 @@ def test_combo_counts(spark):
     assert [r["k"] for r in out] == ["fg_2_2", "fg_1_1", "fg_1_0"]
 
 
+def test_combo_simple(spark):
+    # Impl.h:213-267 — one history count crossed with each `other` value.
+    # pv=3, diff=10: all 4 pairs survive; probe [4] -> cnt=2; other=[x,y]
+    # -> ["fg_2_x","fg_2_y"]; comboRight=False flips -> ["fg_x_2","fg_y_2"];
+    # count2_cut=1 caps how many other values are crossed (maxinc).
+    rows = [(HIST_KEYS, [1.0] * 4, HIST_TS, 3.0, [4], ["x", "y"])]
+    df = spark.createDataFrame(
+        rows,
+        "mk array<long>, mv array<double>, vts array<double>, "
+        "pv double, probe array<long>, other array<string>",
+    )
+    args = (F.col("mk"), F.col("mv"), F.col("vts"), F.col("pv"),
+            F.col("probe"), F.col("other"))
+    out = df.select(
+        la.lookup_combo_simple(*args, 10.0, "fg").alias("r"),
+        la.lookup_combo_simple(*args, 10.0, "fg", combo_right=False).alias("l"),
+        la.lookup_combo_simple(*args, 10.0, "fg", count1_cut=1).alias("c1"),
+        la.lookup_combo_simple(*args, 10.0, "fg", count2_cut=1).alias("c2"),
+    ).collect()[0]
+    assert out["r"] == ["fg_2_x", "fg_2_y"]
+    assert out["l"] == ["fg_x_2", "fg_y_2"]
+    assert out["c1"] == ["fg_1_x", "fg_1_y"]
+    assert out["c2"] == ["fg_2_x"]
+
+
+def test_combo_simple_empty_window_is_null(spark):
+    # Impl.h:227-232 — lookupPairList.empty() shares the error return:
+    # the feature is NULL (not "0_x") when no pair survives the window.
+    rows = [([5], [1.0], [0.0], 100.0, [5], ["x"])]
+    df = spark.createDataFrame(
+        rows,
+        "mk array<long>, mv array<double>, vts array<double>, "
+        "pv double, probe array<long>, other array<string>",
+    )
+    out = df.select(
+        la.lookup_combo_simple(
+            F.col("mk"), F.col("mv"), F.col("vts"), F.col("pv"),
+            F.col("probe"), F.col("other"), 10.0, "fg",
+        ).alias("r")
+    ).collect()[0]
+    assert out["r"] is None
+
+
 def test_production_trace_1(spark):
     df = _df_hist(
         spark, tf.TRACE1_KEYS, [1.0] * len(tf.TRACE1_KEYS), tf.TRACE1_TS,

@@ -116,6 +116,66 @@ def test_spec_lookup_needcombo_and_match_weighting(spark):
     assert row["mw"]["key"] == "mw_seg_x" and row["mw"]["weight"] == 7.0
 
 
+def test_spec_lookup_combo_simple(spark):
+    """comboSimple config path: one history count crossed with the
+    otherExpression values (FeatureConfig.h:249-254 input layout,
+    Impl.h:213-267 kernel); reference camelCase cut names honored."""
+    from featuregenerator_spark.spec import compile_config, parse_config
+
+    df = spark.createDataFrame(
+        [(10000.0, ["a", "a"], [1.0, 1.0], [9990.0, 9900.0], "a", ["u", "v"])],
+        "pv double, k1 array<string>, v1 array<double>, t1 array<double>, "
+        "probe string, oth array<string>",
+    )
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "cs",
+         "map_keys": "k1", "map_values": "v1", "value_timestamps": "t1",
+         "pvtime": "pv", "key": "probe", "timediff": 3600,
+         "needCombo": True, "comboSimple": True, "otherExpression": "oth",
+         "countCutThreshold": 1},
+    ]}
+    row = compile_config(cfg, df).select("cs").first()
+    assert row["cs"] == ["cs_1_u", "cs_1_v"]  # cnt 2 clipped to 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="otherExpression"):
+        parse_config({"features": [
+            {"feature_type": "lookup_feature", "feature_name": "bad",
+             "map_keys": "k1", "map_values": "v1", "value_timestamps": "t1",
+             "pvtime": "pv", "key": "probe", "timediff": 3600,
+             "needCombo": True, "comboSimple": True},
+        ]})
+    with _pytest.raises(ValueError, match="map2_keys"):
+        parse_config({"features": [
+            {"feature_type": "lookup_feature", "feature_name": "bad",
+             "map_keys": "k1", "map_values": "v1", "value_timestamps": "t1",
+             "pvtime": "pv", "key": "probe", "timediff": 3600,
+             "needCombo": True},
+        ]})
+
+
+def test_spec_lookup_optimized_is_optimized_alias(spark):
+    """The reference JSON field is "is_optimized" (FeatureConfig.h:221);
+    both spellings must hit the same optimized path and validation."""
+    import pytest as _pytest
+
+    from featuregenerator_spark.spec import compile_config, parse_config
+
+    df = spark.createDataFrame([([1.0, 2.0, 4.0],)], "vals array<double>")
+    cfg = {"features": [
+        {"feature_type": "lookup_feature", "feature_name": "opt",
+         "map": "vals", "is_optimized": True, "combiner": "sum",
+         "needDiscrete": False},
+    ]}
+    assert compile_config(cfg, df).first()["opt"] == 7.0
+    with _pytest.raises(ValueError, match="map"):
+        parse_config({"features": [
+            {"feature_type": "lookup_feature", "feature_name": "bad",
+             "is_optimized": True, "combiner": "sum"},
+        ]})
+
+
 def test_spec_lookup_optimized_values_only(spark):
     from featuregenerator_spark.spec import compile_config
 
