@@ -445,10 +445,18 @@ def q_dedup_exact(spark, sf_dir):
 def q_neardup_token_jaccard(spark, sf_dir):
     """Exact token-set Jaccard on same-lang candidate pairs (the oracle-
     checkable baseline; the LSH variant below scales it)."""
+    # Jaccard is computed on xxhash64(token) arrays: identical to
+    # string-token Jaccard absent a vocabulary collision (~V^2/2^64 —
+    # and this query IS oracle-checked against DuckDB's string-token
+    # Jaccard, so the gate proves the equality), with fixed-width long
+    # intersects ~2x cheaper per pair; |union| = n_a + n_b - |inter|
+    # skips array_union entirely.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+        ).alias("toks"),
     ).withColumn("nt", F.size("toks"))
     # the docs file is one small parquet split: without an explicit
     # repartition the broadcast join probes ALL O(n^2/lang) pairs in ONE
@@ -469,9 +477,8 @@ def q_neardup_token_jaccard(spark, sf_dir):
             >= F.lit(0.8) * F.greatest(F.col("a.nt"), F.col("b.nt"))
         ),
     )
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = inter.cast("double") / union
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    jac = inter / (F.col("a.nt") + F.col("b.nt") - inter)
     return pair.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -627,17 +634,37 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # verify candidates with exact Jaccard. No explicit broadcast hint:
-    # AQE broadcasts the toks side while it fits the 64MB threshold and
-    # falls back to a shuffle join beyond it (the 100x-scale path).
-    toks = docs.select("doc_id", "toks")
+    # verify candidates with exact Jaccard — computed on the 8-byte
+    # token-hash arrays, not the token strings: set identity is preserved
+    # (xxhash64 collisions across a corpus vocabulary are ~(V^2)/2^64,
+    # negligible; parity vs string-token Jaccard pinned in
+    # tests/test_invariants.py) and the per-pair intersect is ~2x cheaper
+    # plus the verify shuffle carries fixed-width longs. |union| =
+    # n_a + n_b - |intersect| (toks are distinct) skips array_union
+    # entirely. No explicit broadcast hint: AQE broadcasts the hash side
+    # while it fits the 64MB threshold and falls back to a shuffle join
+    # beyond it (the 100x-scale path).
+    th = hashed.select("doc_id", "th", F.size("th").alias("n"))
     cand = (
-        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+        cand.join(
+            th.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("th").alias("ha"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            th.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("th").alias("hb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
     )
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return cand.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)

@@ -220,6 +220,28 @@ def test_dedup_cc_lsh_parity_with_exact_cc(spark):
     assert mismatches == [], mismatches[:10]
 
 
+def test_minhash_verify_hash_jaccard_equals_token_jaccard(spark):
+    """The LSH verify step computes exact Jaccard on xxhash64(token)
+    arrays (fixed-width longs, ~2x cheaper per pair than string
+    intersects). Absent a vocabulary hash collision (~V^2/2^64) that is
+    IDENTICAL to string-token Jaccard — asserted pair-by-pair on every
+    emitted candidate at sf0.001."""
+    import __spark_entry__ as m
+
+    pairs = m.q_minhash_lsh_candidates(spark, SF001).collect()
+    assert pairs  # the corpus plants near-dup clusters; must find some
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF001}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in pairs:
+        ta, tb = docs[r["doc_a"]], docs[r["doc_b"]]
+        want = round(len(ta & tb) / len(ta | tb), 4)
+        assert r["jaccard"] == want, (r["doc_a"], r["doc_b"], r["jaccard"], want)
+
+
 def test_minhash_lsh_dropped_bucket_metric(spark):
     """Capped LSH runs are auditable: the observed metric reports how
     many band buckets the cap dropped — 0 at the default cap on the test
