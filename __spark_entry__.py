@@ -129,6 +129,38 @@ def q_sessionize_30m(spark, sf_dir):
     return ev.select("event_id", idx.cast("long").alias("session_idx"))
 
 
+def q_rolling_count_1h_chunked(spark, sf_dir):
+    """Skew-parallel rolling count (plans/skew.py): same semantics as
+    rolling_count_1h but evaluated over (user_id, time_chunk) partitions
+    with a 3600s halo — one hot user spreads across tasks instead of
+    serializing a partition. The DuckDB oracle is the STANDARD query's
+    SQL verbatim, so the gate itself proves chunked == unchunked."""
+    from featuregenerator_spark.plans import temporal
+    from featuregenerator_spark.plans.skew import HALO, with_time_chunks
+
+    ev = _events(spark, sf_dir)
+    ch = with_time_chunks(ev, 7200.0, 3600.0)
+    out = temporal.with_rolling_count(
+        ch, 3600.0, "prior_cnt_1h", conv=["user_id", "__chunk"],
+        include_current=False,
+    )
+    return out.filter(~F.col(HALO)).select("event_id", "prior_cnt_1h")
+
+
+def q_sessionize_30m_chunked(spark, sf_dir):
+    """Skew-parallel sessionization: the prefix-dependent session index
+    restored by the two-pass chunk-offset scheme (plans/skew.py), checked
+    against the STANDARD sessionize oracle SQL verbatim."""
+    from featuregenerator_spark.plans.skew import sessionize_chunked, with_time_chunks
+
+    ev = _events(spark, sf_dir)
+    ch = with_time_chunks(ev, 3600.0, 1800.0)
+    out = sessionize_chunked(
+        ch, 1800.0, conv="user_id", order_by=("ts", "event_id")
+    )
+    return out.select("event_id", "session_idx")
+
+
 def q_asof_last_purchase(spark, sf_dir):
     from featuregenerator_spark.plans.temporal import asof_join
 
@@ -1858,10 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_decode": q_multimodal_video,
         "ann_ivf_top10": q_ann_ivf_top10,
         "lookup_combo_simple": q_lookup_combo_simple,
+        "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
+        "sessionize_30m_chunked": q_sessionize_30m_chunked,
         # --- stable queries keeping driver coverage this round ---
-        "rolling_count_1h": q_rolling_count_1h,
         "rolling_sum_24h": q_rolling_sum_24h,
-        "sessionize_30m": q_sessionize_30m,
         "asof_last_purchase": q_asof_last_purchase,
         "backfill_purchase": q_backfill_purchase,
         "lag_lead_value": q_lag_lead_value,
@@ -1886,7 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
-        # --- tail (green driver rows recorded in CORRECTNESS_r02) ---
+        # --- tail (green driver rows recorded in CORRECTNESS_r01/r02) ---
+        "rolling_count_1h": q_rolling_count_1h,
+        "sessionize_30m": q_sessionize_30m,
         "gap_seconds": q_gap_seconds,
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
@@ -2512,4 +2546,21 @@ def oracle_sql() -> dict[str, str]:
                      WHEN now - min_ts < 43200 THEN 7
                      ELSE 8 END AS DOUBLE) AS since_oldest_same_type
             FROM w""",
+    } | {
+        # the chunked skew-parallel variants are DEFINED as equal to the
+        # standard queries — same oracle SQL verbatim, so the gate itself
+        # proves chunked == unchunked (plans/skew.py exactness argument).
+        "rolling_count_1h_chunked": """
+            SELECT event_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) - 1 AS DOUBLE)
+                   AS prior_cnt_1h
+            FROM events""",
+        "sessionize_30m_chunked": f"""
+            SELECT event_id,
+                   CAST(sum(CASE WHEN g IS NULL OR g > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_idx
+            FROM (SELECT *, {gap} AS g FROM events)""",
     }

@@ -105,29 +105,63 @@ def run_flagship(spark, sf: str) -> tuple[float, int]:
 
 
 def run_skew_stress(spark) -> dict[str, float]:
-    """Same feature pipeline over two same-size transcript tables: one
-    with no hot key, one where a single conversation holds ~10% of all
-    rows. Evidences the layered skew strategy (salted conversation-level
-    aggregation, O(1)-state range windows, AQE skew joins): the hot-key
-    run must stay within a small factor of the uniform run, not blow up
-    quadratically or OOM. Reported as absolute walls + ratio."""
+    """The feature pipeline over three same-size transcript tables: no
+    hot key, a ~10%-hot conversation, and ONE conversation holding every
+    row (the Amdahl worst case for conv-partitioned windows). Evidences
+    the layered skew strategy (salted conversation-level aggregation,
+    O(1)-state range windows, AQE skew joins) and the time-chunked
+    skew-parallel path (plans/skew.py), which runs the mega table both
+    serial (standard) and chunked. Reported as absolute walls + ratios;
+    the mega legs are deliberately pathological and are excluded from
+    the headline total (separate top-level fields)."""
     from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+    from featuregenerator_spark.plans.skew import build_turn_features_chunked
     from featuregenerator_spark.plans.temporal import with_ts_seconds
     from featuregenerator_spark.sources.transcripts import synth_transcripts
 
     shapes = {
-        # ~560k rows each; skew10's mega-conversation is ~56k rows (~10%)
+        # ~560k rows each; skew10's mega-conversation is ~56k rows (~10%);
+        # skew_mega is ONE conversation holding every row — the Amdahl
+        # worst case for conv-partitioned windows.
         "skew_uniform": dict(n_convs=20_000, max_turns=55, skew_conv_turns=0),
         "skew_hot10": dict(n_convs=18_200, max_turns=55, skew_conv_turns=56_000),
+        "skew_mega": dict(n_convs=1, max_turns=5, skew_conv_turns=560_000),
+    }
+
+    def build_std(tr):
+        return build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
+
+    def build_std_horizon(tr):
+        # gap_horizon run: the contract the chunked path is defined
+        # against — same features, so serial-vs-chunked is apples-to-apples
+        return build_turn_features(
+            with_ts_seconds(tr), gap_horizon_seconds=86400.0
+        ).select(*FEATURE_COLUMNS)
+
+    def build_chunked(tr):
+        # the skew-parallel path (plans/skew.py): windows evaluate over
+        # (conv_id, time_chunk) partitions; feature-for-feature equal to
+        # the standard gap-horizon run (pinned in tests/test_skew.py and
+        # by the driver's *_chunked oracle rows). Direct (router-less)
+        # call: the auto router's hot-detection and routing joins cost
+        # ~3 input scans — amortized at production scale, but they mask
+        # the window-stage mechanism this entry isolates.
+        return build_turn_features_chunked(tr).select(*FEATURE_COLUMNS)
+
+    legs = {
+        "skew_uniform": ("skew_uniform", build_std),
+        "skew_hot10": ("skew_hot10", build_std),
+        "skew_mega_serial": ("skew_mega", build_std_horizon),
+        "skew_mega_chunked": ("skew_mega", build_chunked),
     }
     out: dict[str, float] = {}
-    for name, shape in shapes.items():
-        path = f"/tmp/fg_bench_{name}"
+    for name, (shape_name, builder) in legs.items():
+        path = f"/tmp/fg_bench_{shape_name}"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            tr = synth_transcripts(spark, seed=42, **shape)
+            tr = synth_transcripts(spark, seed=42, **shapes[shape_name])
             tr.repartition(64, "conv_id").write.mode("overwrite").parquet(path)
         tr = spark.read.parquet(path)
-        feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
+        feat = builder(tr)
         _noop(feat)  # JIT warm
         best = float("inf")
         for _ in range(2):
@@ -177,11 +211,18 @@ def main() -> None:
     queries["flagship_transcripts"] = round(t, 3)
     turns_per_sec = rows / t if t > 0 else 0.0
 
-    skew_ratio = None
+    skew_ratio = skew_mega_speedup = None
+    skew_mega: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
+        # the deliberately-pathological mega legs stay out of the headline
+        # sum (round-over-round comparability); reported as own fields
+        skew_mega = {k: skew.pop(k) for k in ("skew_mega_serial", "skew_mega_chunked")}
         queries.update(skew)
         skew_ratio = round(skew["skew_hot10"] / skew["skew_uniform"], 3)
+        skew_mega_speedup = round(
+            skew_mega["skew_mega_serial"] / skew_mega["skew_mega_chunked"], 3
+        )
         qmap = entrymod.queries()
         for name in BENCH_QUERIES:
             # same treatment as the flagship: first run JIT-compiles the
@@ -209,6 +250,8 @@ def main() -> None:
                 "flagship_rows": rows,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
                 "skew_slowdown_ratio": skew_ratio,
+                "skew_mega": skew_mega,
+                "skew_mega_chunked_speedup": skew_mega_speedup,
             }
         )
     )

@@ -4,15 +4,21 @@ north_rule: partition by ``hash(conv_id)`` with salted repartitioning for
 skewed mega-conversations; range-sort by (conv_id, turn_idx, ts) within
 partitions so as-of semantics never read future turns.
 
-Window functions *must* see a whole conversation in one partition, so a
-window itself can't be salted — skew mitigation is layered instead:
+Skew mitigation is layered:
 
   1. conversation-LEVEL aggregates (counts, session stats) use salted
      two-phase aggregation (``salted_agg``) so one hot conv_id spreads
      over ``n_salts`` reducers before the final merge;
   2. turn-level range windows keep O(1) frame state (rangeBetween), so a
      mega-conversation costs linear time, not linear *memory*;
-  3. AQE skew-join splitting is enabled in session.py for the join paths.
+  3. AQE skew-join splitting is enabled in session.py for the join paths;
+  4. the windows themselves ARE salted for mega-conversations — but by
+     TIME, not randomly: every flagship window feature reads a bounded
+     history horizon, so ``plans/skew.py`` re-partitions hot
+     conversations on (conv_id, time_chunk) with a halo copy of the
+     previous horizon, feature-for-feature equal to the serial path
+     (its one prefix feature, session_idx, is restored by a tiny
+     second-pass offset join).
 """
 
 from __future__ import annotations

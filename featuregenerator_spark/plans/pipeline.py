@@ -28,6 +28,75 @@ from featuregenerator_spark.plans.partitioning import repartition_for_windows
 from pyspark.sql import types as T
 
 
+def _turn_feature_stages(
+    df: DataFrame,
+    conv,
+    order_by,
+    rolling_windows: tuple[float, ...],
+    tool_gap_timediff: float,
+    gap_horizon_seconds: float | None,
+) -> DataFrame:
+    """Every per-turn feature stage EXCEPT sessionization, parameterized
+    by the window partition key — ``conv_id`` on the standard path,
+    ``(conv_id, time_chunk)`` on the skew-parallel path (plans/skew.py).
+    All stages read at most max(rolling_windows, tool_gap_timediff)
+    seconds of history, which is what makes the chunked evaluation exact.
+    """
+    # --- scalar kernels (id_feature / raw_feature semantics) -------------
+    df = df.withColumn(
+        "role_id", id_feature_scalar(F.col("role"), "role", T.StringType())
+    )
+    df = df.withColumn(
+        "tool_id",
+        F.coalesce(
+            id_feature_scalar(F.col("tool"), "tool", T.StringType()),
+            F.lit("tool_none"),
+        ),
+    )
+    df = df.withColumn("text_len", F.length("text").cast("double"))
+    df = df.withColumn(
+        "text_len_log", F.when(F.col("text_len") > 0, F.log10("text_len")).otherwise(0.0)
+    )
+
+    # --- temporal lifts ---------------------------------------------------
+    df = temporal.with_gap(df, conv=conv, order_by=order_by)
+    df = df.withColumn("gap_bucket", F.coalesce(F.col("gap_bucket"), F.lit(8)))
+    if gap_horizon_seconds is not None:
+        df = df.withColumn(
+            "gap_seconds",
+            F.when(
+                F.col("gap_seconds") <= float(gap_horizon_seconds),
+                F.col("gap_seconds"),
+            ),
+        )
+    for w_s in rolling_windows:
+        tag = f"{int(w_s)}s"
+        df = temporal.with_rolling_count(
+            df, w_s, f"turns_prior_{tag}", conv=conv, include_current=False
+        )
+        df = temporal.with_rolling_count(
+            df,
+            w_s,
+            f"tool_calls_prior_{tag}",
+            conv=conv,
+            predicate=F.col("role") == "tool",
+            include_current=False,
+        )
+    df = temporal.with_rolling_agg(
+        df, rolling_windows[0], F.col("text_len"), "avg", "avg_text_len_w0", conv=conv
+    )
+    df = temporal.with_gap_since_match(
+        df,
+        F.col("role") == "tool",
+        tool_gap_timediff,
+        "since_tool_bucket",
+        gap="gap_min",
+        default_value=0.0,
+        conv=conv,
+    )
+    return df
+
+
 def build_turn_features(
     transcripts: DataFrame,
     rolling_windows: tuple[float, ...] = (3600.0, 86400.0),
@@ -55,23 +124,6 @@ def build_turn_features(
         df, num_partitions, order_by=(temporal.TS_SEC, temporal.TURN)
     )
 
-    # --- scalar kernels (id_feature / raw_feature semantics) -------------
-    df = df.withColumn(
-        "role_id", id_feature_scalar(F.col("role"), "role", T.StringType())
-    )
-    df = df.withColumn(
-        "tool_id",
-        F.coalesce(
-            id_feature_scalar(F.col("tool"), "tool", T.StringType()),
-            F.lit("tool_none"),
-        ),
-    )
-    df = df.withColumn("text_len", F.length("text").cast("double"))
-    df = df.withColumn(
-        "text_len_log", F.when(F.col("text_len") > 0, F.log10("text_len")).otherwise(0.0)
-    )
-
-    # --- temporal lifts ---------------------------------------------------
     # One sort serves every window stage: ordering (ts_sec, turn_idx) is
     # the as-of order (time first, stable turn tiebreak); the range-frame
     # windows need only the (conv_id, ts_sec) prefix of it, so Catalyst
@@ -81,38 +133,9 @@ def build_turn_features(
     # (turn_idx, ts) ordering; under dirty timestamps it is the ordering
     # that keeps point-in-time semantics (never read the future).
     order_by = (temporal.TS_SEC, temporal.TURN)
-    df = temporal.with_gap(df, order_by=order_by)
-    df = df.withColumn("gap_bucket", F.coalesce(F.col("gap_bucket"), F.lit(8)))
-    if gap_horizon_seconds is not None:
-        df = df.withColumn(
-            "gap_seconds",
-            F.when(
-                F.col("gap_seconds") <= float(gap_horizon_seconds),
-                F.col("gap_seconds"),
-            ),
-        )
-    for w_s in rolling_windows:
-        tag = f"{int(w_s)}s"
-        df = temporal.with_rolling_count(
-            df, w_s, f"turns_prior_{tag}", include_current=False
-        )
-        df = temporal.with_rolling_count(
-            df,
-            w_s,
-            f"tool_calls_prior_{tag}",
-            predicate=F.col("role") == "tool",
-            include_current=False,
-        )
-    df = temporal.with_rolling_agg(
-        df, rolling_windows[0], F.col("text_len"), "avg", "avg_text_len_w0"
-    )
-    df = temporal.with_gap_since_match(
-        df,
-        F.col("role") == "tool",
-        tool_gap_timediff,
-        "since_tool_bucket",
-        gap="gap_min",
-        default_value=0.0,
+    df = _turn_feature_stages(
+        df, temporal.CONV, order_by, rolling_windows, tool_gap_timediff,
+        gap_horizon_seconds,
     )
     df = temporal.sessionize(df, session_gap, order_by=order_by)
 

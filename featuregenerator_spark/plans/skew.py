@@ -1,0 +1,229 @@
+"""Time-chunked window evaluation for skewed mega-conversations.
+
+Window functions partitioned by ``conv_id`` place a whole conversation
+in ONE task: a conversation holding 10% of all turns serializes 10% of
+the stage no matter how many executors exist (Amdahl) — the remaining
+skew in the flagship bench (`skew_slowdown_ratio` ~2 at a 10%-hot key).
+
+Every flagship window feature reads a BOUNDED time horizon of history:
+rolling counts/aggs over <= 86400 s range frames, gap-since-match with
+``timediff``, and — under the pipeline's documented
+``gap_horizon_seconds`` contract — the gap/session-boundary features
+too. So a mega-conversation can be split into TIME CHUNKS of
+``chunk_span >= horizon`` seconds and each chunk evaluated
+independently, provided it also sees a read-only HALO copy of the
+previous ``horizon`` seconds of rows (each row is duplicated into at
+most one later chunk). This is the north rule's "salted repartitioning
+for skewed mega-conversations": the window partition key becomes
+``(conv_id, chunk)`` — a deterministic time-salt — and the hot
+conversation spreads over ``time_range / chunk_span`` tasks.
+
+The one prefix-dependent feature (``session_idx``: a cumulative count
+of session boundaries from the conversation start) is restored with a
+second, TINY aggregation pass: per-chunk boundary totals (one row per
+(conv, chunk)) -> exclusive prefix sum per conversation over the chunk
+sequence -> broadcast-joined back onto the turns. Total extra cost is
+one narrow shuffle of #chunks rows.
+
+Exactness (pinned in tests/test_skew.py and by the driver's DuckDB
+oracle on the ``*_chunked`` queries, which reuse the standard queries'
+oracle SQL verbatim):
+
+- range frames ``[t - w, t]`` with ``w <= horizon``: a body row at
+  ``t >= chunk_start`` needs history back to ``t - w >= chunk_start -
+  horizon`` — exactly what the halo guarantees;
+- ``lag``-based gap/session boundaries: if the true previous row is
+  inside the halo it IS the in-partition lag; if it is older than
+  ``horizon``, the in-partition lag is null and the true gap exceeds
+  ``horizon`` — the ``gap_horizon_seconds`` contract (gap -> null,
+  bucket -> 8, session boundary -> 1) makes both paths emit the same
+  value, which is why the chunked builder runs the stages with
+  ``gap_horizon_seconds = horizon`` and is defined as equal to
+  ``build_turn_features(..., gap_horizon_seconds=horizon)``;
+- gap-since-match: the anchor (latest prior matching turn) only
+  matters within ``timediff <= horizon`` of the current row — any
+  match the halo cannot see yields the default on both paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.plans import temporal
+from featuregenerator_spark.plans.pipeline import _turn_feature_stages
+
+CHUNK = "__chunk"
+HALO = "__halo"
+
+
+def with_time_chunks(
+    df: DataFrame,
+    chunk_span: float,
+    horizon: float,
+    ts_sec: str = temporal.TS_SEC,
+) -> DataFrame:
+    """Assign each row its time chunk and add halo copies.
+
+    Body rows get ``__chunk = floor(ts / chunk_span)``, ``__halo =
+    false``. Rows within ``horizon`` of the next chunk boundary are
+    additionally emitted into the NEXT chunk with ``__halo = true`` —
+    read-only history for that chunk's windows, dropped from the output.
+    ``chunk_span >= horizon`` keeps the duplication factor <= 2 (default
+    span of 2x horizon -> 1.5x worst case); both are pure projections,
+    no window needed to chunk.
+    """
+    if chunk_span < horizon:
+        raise ValueError(
+            f"chunk_span ({chunk_span}) must be >= horizon ({horizon}): "
+            "a row may only halo into the immediately following chunk"
+        )
+    chunk = F.floor(F.col(ts_sec) / F.lit(float(chunk_span))).cast("long")
+    body = df.withColumn(CHUNK, chunk).withColumn(HALO, F.lit(False))
+    halo = (
+        df.filter(
+            F.col(ts_sec)
+            >= (chunk + 1).cast("double") * F.lit(float(chunk_span)) - F.lit(float(horizon))
+        )
+        .withColumn(CHUNK, chunk + 1)
+        .withColumn(HALO, F.lit(True))
+    )
+    return body.unionByName(halo)
+
+
+def sessionize_chunked(
+    df: DataFrame,
+    gap_seconds: float,
+    conv: str = temporal.CONV,
+    ts_sec: str = temporal.TS_SEC,
+    order_by=(temporal.TURN, temporal.TS_SEC),
+    out: str = "session_id",
+) -> DataFrame:
+    """Two-pass sessionization over (conv, chunk) partitions.
+
+    Pass 1 (wide, parallel): per-chunk boundary flags — the in-partition
+    lag sees the true previous row via the halo, or is null when the
+    true gap exceeds the horizon (> gap_seconds either way -> boundary).
+    Local cumulative boundary count runs over BODY rows only (halo rows
+    contribute 0; they are counted by their own chunk).
+
+    Pass 2 (tiny): per-(conv, chunk) boundary totals -> exclusive prefix
+    per conv -> broadcast join back; session_idx = local + offset.
+
+    Input must carry CHUNK/HALO (from :func:`with_time_chunks`); halo
+    rows are dropped from the output.
+    """
+    key = [conv, CHUNK]
+    w = Window.partitionBy(*key).orderBy(*order_by)
+    gap = F.col(ts_sec) - F.lag(ts_sec).over(w)
+    boundary = F.when(
+        (gap.isNull() | (gap > gap_seconds)) & ~F.col(HALO), 1
+    ).otherwise(0)
+    df = df.withColumn("__b", boundary)
+    local = F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df = df.withColumn("__local", local).filter(~F.col(HALO))
+
+    totals = df.groupBy(conv, CHUNK).agg(F.sum("__b").alias("__bt"))
+    w_conv = (
+        Window.partitionBy(conv)
+        .orderBy(CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        conv,
+        CHUNK,
+        F.coalesce(F.sum("__bt").over(w_conv), F.lit(0)).alias("__off"),
+    )
+    df = df.join(F.broadcast(offsets), key)
+    idx = (F.col("__local") + F.col("__off")).cast("long")
+    return (
+        df.withColumn("session_idx", idx)
+        .withColumn(out, F.concat_ws("#", F.col(conv), idx.cast("string")))
+        .drop("__b", "__local", "__off")
+    )
+
+
+def build_turn_features_chunked(
+    transcripts: DataFrame,
+    rolling_windows: tuple[float, ...] = (3600.0, 86400.0),
+    session_gap: float = 1800.0,
+    tool_gap_timediff: float = 86400.0,
+    chunk_span_seconds: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-parallel flagship: feature-for-feature equal to
+    ``build_turn_features(..., gap_horizon_seconds=horizon)`` where
+    ``horizon = max(rolling_windows, tool_gap_timediff, session_gap,
+    43200)``, but windows partition on (conv_id, time_chunk) so one
+    mega-conversation spreads across the cluster instead of one task.
+    """
+    horizon = max(*rolling_windows, tool_gap_timediff, session_gap, 43200.0)
+    span = float(chunk_span_seconds) if chunk_span_seconds else 2.0 * horizon
+    df = temporal.with_ts_seconds(transcripts)
+    df = with_time_chunks(df, span, horizon)
+    key = [temporal.CONV, CHUNK]
+    parts = (
+        df.repartition(num_partitions, *key)
+        if num_partitions
+        else df.repartition(*key)
+    )
+    order_by = (temporal.TS_SEC, temporal.TURN)
+    df = parts.sortWithinPartitions(*key, *order_by)
+    df = _turn_feature_stages(
+        df, key, order_by, rolling_windows, tool_gap_timediff,
+        gap_horizon_seconds=horizon,
+    )
+    df = sessionize_chunked(df, session_gap, order_by=order_by)
+    return df.drop(CHUNK, HALO)
+
+
+def build_turn_features_auto(
+    transcripts: DataFrame,
+    hot_turns_threshold: int = 1_000_000,
+    rolling_windows: tuple[float, ...] = (3600.0, 86400.0),
+    session_gap: float = 1800.0,
+    tool_gap_timediff: float = 86400.0,
+    chunk_span_seconds: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Route conversations by size: heavy hitters (more turns than
+    ``hot_turns_threshold``) take the chunked path, everything else the
+    standard single-partition-per-conv path; results union to one
+    DataFrame. Detection is one map-side-partial count per conv_id; the
+    hot set is joined back (broadcast semi/anti), never collected.
+
+    Both branches run with ``gap_horizon_seconds = horizon`` so the
+    union is feature-for-feature uniform (the documented chunk-safe gap
+    contract).
+    """
+    from featuregenerator_spark.plans.pipeline import (
+        FEATURE_COLUMNS,
+        build_turn_features,
+    )
+
+    horizon = max(*rolling_windows, tool_gap_timediff, session_gap, 43200.0)
+    hot = (
+        transcripts.groupBy(temporal.CONV)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_turns_threshold)
+        .select(temporal.CONV)
+    )
+    cold_t = transcripts.join(F.broadcast(hot), temporal.CONV, "left_anti")
+    hot_t = transcripts.join(F.broadcast(hot), temporal.CONV, "left_semi")
+    cold = build_turn_features(
+        cold_t,
+        rolling_windows=rolling_windows,
+        session_gap=session_gap,
+        tool_gap_timediff=tool_gap_timediff,
+        num_partitions=num_partitions,
+        gap_horizon_seconds=horizon,
+    ).select(*FEATURE_COLUMNS)
+    hot_f = build_turn_features_chunked(
+        hot_t,
+        rolling_windows=rolling_windows,
+        session_gap=session_gap,
+        tool_gap_timediff=tool_gap_timediff,
+        chunk_span_seconds=chunk_span_seconds,
+        num_partitions=num_partitions,
+    ).select(*FEATURE_COLUMNS)
+    return cold.unionByName(hot_f)

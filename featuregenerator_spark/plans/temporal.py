@@ -38,8 +38,14 @@ def with_ts_seconds(df: DataFrame, ts_col: str = TS, out: str = TS_SEC) -> DataF
     )
 
 
-def _order_window(conv: str, order_cols: Sequence[str]):
-    return Window.partitionBy(conv).orderBy(*order_cols)
+def _parts(conv: str | Sequence[str]) -> list[str]:
+    """Window partition key: a conversation (str) or a composite such as
+    (conv_id, time_chunk) for the skew-parallel path (plans/skew.py)."""
+    return [conv] if isinstance(conv, str) else list(conv)
+
+
+def _order_window(conv: str | Sequence[str], order_cols: Sequence[str]):
+    return Window.partitionBy(*_parts(conv)).orderBy(*order_cols)
 
 
 def with_lag_lead(
@@ -108,7 +114,7 @@ def with_rolling_count(
         else F.lit(1)
     )
     w = (
-        Window.partitionBy(conv)
+        Window.partitionBy(*_parts(conv))
         .orderBy(F.col(ts_sec))
         .rangeBetween(-int(window_seconds), 0)
     )
@@ -146,7 +152,7 @@ def with_rolling_agg(
     """
     if include_current:
         w = (
-            Window.partitionBy(conv)
+            Window.partitionBy(*_parts(conv))
             .orderBy(F.col(ts_sec))
             .rangeBetween(-int(window_seconds), 0)
         )
@@ -154,7 +160,7 @@ def with_rolling_agg(
         return df.withColumn(out, fn(value).over(w))
     if agg in ("sum", "avg", "mean"):
         w = (
-            Window.partitionBy(conv)
+            Window.partitionBy(*_parts(conv))
             .orderBy(F.col(ts_sec))
             .rangeBetween(-int(window_seconds), 0)
         )
@@ -174,11 +180,11 @@ def with_rolling_agg(
     fn = {"min": F.min, "max": F.max}[agg]
     df = df.withColumn("__us", (F.col(ts_sec) * 1_000_000).cast("long"))
     w_us = (
-        Window.partitionBy(conv)
+        Window.partitionBy(*_parts(conv))
         .orderBy(F.col("__us"))
         .rangeBetween(-int(window_seconds) * 1_000_000, -1)
     )
-    w_tie = Window.partitionBy(conv, "__us")
+    w_tie = Window.partitionBy(*_parts(conv), "__us")
     df = df.withColumn("__mg", fn(value).over(w_tie))
     is_ext = value == F.col("__mg")
     cnt_ext = F.sum(F.when(is_ext, 1).otherwise(0)).over(w_tie)
@@ -211,12 +217,12 @@ def with_gap_since_match(
     init = float(timediff) if gap == "gap_min" else 0.0
     ind = F.when(predicate, F.lit(1)).otherwise(F.lit(0))
     w_prior = (
-        Window.partitionBy(conv)
+        Window.partitionBy(*_parts(conv))
         .orderBy(F.col(ts_sec))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_range = (
-        Window.partitionBy(conv)
+        Window.partitionBy(*_parts(conv))
         .orderBy(F.col(ts_sec))
         .rangeBetween(-int(timediff), 0)
     )

@@ -1,12 +1,29 @@
 """Skew handling: salted two-phase aggregation correctness on a
-mega-conversation hot key; window pipeline survives the hot key."""
+mega-conversation hot key; window pipeline survives the hot key; the
+time-chunked skew-parallel path is feature-for-feature equal to the
+standard path."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from featuregenerator_spark.plans.partitioning import salted_agg
 from featuregenerator_spark.plans.pipeline import FEATURE_COLUMNS, build_turn_features
+from featuregenerator_spark.plans.skew import (
+    build_turn_features_auto,
+    build_turn_features_chunked,
+    with_time_chunks,
+)
 from featuregenerator_spark.plans.temporal import with_ts_seconds
 from featuregenerator_spark.sources.transcripts import synth_transcripts
+
+
+def _sorted_rows(df):
+    return [
+        tuple(r)
+        for r in df.select(*FEATURE_COLUMNS)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
 
 
 def test_salted_agg_equals_plain_groupby(spark):
@@ -32,6 +49,64 @@ def test_salted_agg_equals_plain_groupby(spark):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_chunked_features_equal_standard(spark):
+    """The chunked path must be feature-for-feature EQUAL to the standard
+    path run with gap_horizon_seconds = horizon (the documented chunk-safe
+    gap contract), on a table with a mega-conversation spanning many
+    chunks, idle gaps, and ordinary conversations."""
+    tr = synth_transcripts(spark, n_convs=30, max_turns=20, skew_conv_turns=4000)
+    horizon = 86400.0
+    want = _sorted_rows(
+        build_turn_features(with_ts_seconds(tr), gap_horizon_seconds=horizon)
+    )
+    got = _sorted_rows(build_turn_features_chunked(tr))
+    assert got == want
+    # tighter chunks (span == horizon, maximum halo duplication) too
+    got_tight = _sorted_rows(
+        build_turn_features_chunked(tr, chunk_span_seconds=horizon)
+    )
+    assert got_tight == want
+
+
+def test_chunked_spreads_mega_conversation(spark):
+    """The hot conversation must actually occupy many (conv, chunk)
+    partitions — the whole point of the time-salt."""
+    tr = synth_transcripts(spark, n_convs=3, max_turns=10, skew_conv_turns=4000)
+    chunks = (
+        with_time_chunks(with_ts_seconds(tr), 2 * 86400.0, 86400.0)
+        .filter((F.col("conv_id") == "conv_mega") & ~F.col("__halo"))
+        .select("__chunk")
+        .distinct()
+        .count()
+    )
+    assert chunks >= 4, chunks
+
+
+def test_chunked_rejects_span_below_horizon(spark):
+    tr = synth_transcripts(spark, n_convs=2, max_turns=5)
+    with pytest.raises(ValueError, match="chunk_span"):
+        with_time_chunks(with_ts_seconds(tr), 3600.0, 86400.0)
+
+
+def test_auto_router_parity_and_routing(spark):
+    """build_turn_features_auto: hot conversations route to the chunked
+    path, cold ones to the standard path, union equals the standard
+    gap-horizon run over the whole table."""
+    tr = synth_transcripts(spark, n_convs=25, max_turns=15, skew_conv_turns=3000)
+    want = _sorted_rows(
+        build_turn_features(with_ts_seconds(tr), gap_horizon_seconds=86400.0)
+    )
+    got = _sorted_rows(build_turn_features_auto(tr, hot_turns_threshold=500))
+    assert got == want
+    # no hot conv -> pure standard path, still identical contract
+    cold_only = tr.filter(F.col("conv_id") != "conv_mega")
+    want_cold = _sorted_rows(
+        build_turn_features(with_ts_seconds(cold_only), gap_horizon_seconds=86400.0)
+    )
+    got_cold = _sorted_rows(build_turn_features_auto(cold_only, hot_turns_threshold=500))
+    assert got_cold == want_cold
 
 
 def test_pipeline_handles_mega_conversation(spark):
