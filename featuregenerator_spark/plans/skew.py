@@ -79,16 +79,24 @@ def with_time_chunks(
             "a row may only halo into the immediately following chunk"
         )
     chunk = F.floor(F.col(ts_sec) / F.lit(float(chunk_span))).cast("long")
-    body = df.withColumn(CHUNK, chunk).withColumn(HALO, F.lit(False))
-    halo = (
-        df.filter(
-            F.col(ts_sec)
-            >= (chunk + 1).cast("double") * F.lit(float(chunk_span)) - F.lit(float(horizon))
-        )
-        .withColumn(CHUNK, chunk + 1)
-        .withColumn(HALO, F.lit(True))
+    # ONE scan: explode each row into its 1-or-2 (chunk, halo) assignments
+    # instead of unioning a body subtree with a filtered halo subtree
+    # (which would read the source twice — 2x scan cost at 100 TB).
+    in_halo_band = (
+        F.col(ts_sec)
+        >= (chunk + 1).cast("double") * F.lit(float(chunk_span)) - F.lit(float(horizon))
     )
-    return body.unionByName(halo)
+    body_a = F.struct(chunk.alias("c"), F.lit(False).alias("h"))
+    halo_a = F.struct((chunk + 1).alias("c"), F.lit(True).alias("h"))
+    assigns = F.when(in_halo_band, F.array(body_a, halo_a)).otherwise(
+        F.array(body_a)
+    )
+    df = df.withColumn("__a", F.explode(assigns))
+    return (
+        df.withColumn(CHUNK, F.col("__a.c"))
+        .withColumn(HALO, F.col("__a.h"))
+        .drop("__a")
+    )
 
 
 def sessionize_chunked(
