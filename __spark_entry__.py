@@ -185,6 +185,36 @@ def q_asof_last_purchase(spark, sf_dir):
     )
 
 
+def q_asof_last_purchase_chunked(spark, sf_dir):
+    """Skew-parallel as-of join (plans/skew.py): (key, time_chunk)
+    partitions + per-key prefix carry over per-chunk summaries — exact
+    for any chunk span, no horizon needed. Oracle = the STANDARD as-of
+    query's DuckDB ASOF JOIN SQL verbatim, so the gate proves
+    chunked == unchunked."""
+    from featuregenerator_spark.plans.skew import asof_join_chunked
+
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .withColumn("pts", F.col("ts").cast("timestamp").cast("double"))
+    )
+    joined = asof_join_chunked(
+        ev.select("event_id", "user_id", "ts_sec"),
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="pts",
+        value_cols=["pv"],
+        strict=True,
+        chunk_span_seconds=86400.0,
+    )
+    return joined.select(
+        "event_id", F.round("pv", 4).alias("last_purchase_value")
+    )
+
+
 def q_backfill_purchase(spark, sf_dir):
     from featuregenerator_spark.plans.temporal import backfill
 
@@ -1892,9 +1922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_combo_simple": q_lookup_combo_simple,
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
+        "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
         # --- stable queries keeping driver coverage this round ---
         "rolling_sum_24h": q_rolling_sum_24h,
-        "asof_last_purchase": q_asof_last_purchase,
         "backfill_purchase": q_backfill_purchase,
         "lag_lead_value": q_lag_lead_value,
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
@@ -1921,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02) ---
         "rolling_count_1h": q_rolling_count_1h,
         "sessionize_30m": q_sessionize_30m,
+        "asof_last_purchase": q_asof_last_purchase,
         "gap_seconds": q_gap_seconds,
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
@@ -2563,4 +2594,11 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS session_idx
             FROM (SELECT *, {gap} AS g FROM events)""",
+        "asof_last_purchase_chunked": """
+            SELECT e.event_id, round(p.pv, 4) AS last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS pv FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
     }

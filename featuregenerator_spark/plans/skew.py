@@ -151,6 +151,111 @@ def sessionize_chunked(
     )
 
 
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols,
+    strict: bool = False,
+    tolerance: float | None = None,
+    chunk_span_seconds: float = 86400.0,
+) -> DataFrame:
+    """Skew-parallel as-of join: same semantics as
+    :func:`temporal.asof_join` but the one key-partitioned linear scan —
+    which serializes a mega-key — becomes (key, time_chunk) partitions
+    plus a per-key prefix pass over per-chunk summaries (the classic
+    two-level scan). Unlike the windowed features this needs NO horizon:
+    the carry is exact for ANY chunk span, so the span is purely a
+    load-balancing knob.
+
+    Pass 1 (wide): within (key, chunk) ordered by (ts, side), windowed
+    last(ignorenulls) fills each left row from rights in its own chunk;
+    one max_by per value column summarizes the chunk's last non-null
+    right value (per-column independent — exactly the standard path's
+    per-column last(ignorenulls) semantics).
+    Pass 2 (tiny, one row per (key, chunk)): last(ignorenulls) over the
+    chunk sequence yields the carry from all earlier chunks; broadcast-
+    joined back, each left row takes coalesce(local, carry).
+    """
+    from featuregenerator_spark.plans.temporal import _asof_project, _asof_union
+
+    unioned, lcols, left_rank = _asof_union(
+        left, right, on, left_ts, right_ts, value_cols, strict
+    )
+    span = float(chunk_span_seconds)
+    # null-ts rows sort first in the standard path ("-infinity"); the
+    # sentinel chunk reproduces that: it precedes every real chunk, so a
+    # null-ts right row carries into all of them.
+    chunk = F.coalesce(
+        F.floor(F.col("__t") / F.lit(span)).cast("long"), F.lit(-(2**62))
+    )
+    df = unioned.withColumn(CHUNK, chunk)
+
+    w = (
+        Window.partitionBy(on, CHUNK)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locals_ = {c: F.last(f"__r_{c}", ignorenulls=True).over(w) for c in value_cols}
+    local_rt = F.last("__rt", ignorenulls=True).over(w)
+
+    def _chunk_last(col: str):
+        # last non-null value of `col` in the chunk by (ts, side) order;
+        # ties between right rows at one ts are arbitrary in the standard
+        # path too (its window sort is tie-arbitrary)
+        return F.max_by(
+            F.col(col), F.when(F.col(col).isNotNull(), F.struct("__t", "__side"))
+        )
+
+    summaries = df.groupBy(on, CHUNK).agg(
+        _chunk_last("__rt").alias("__s_rt"),
+        *[_chunk_last(f"__r_{c}").alias(f"__s_{c}") for c in value_cols],
+    )
+    w_chunks = (
+        Window.partitionBy(on)
+        .orderBy(CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        on,
+        CHUNK,
+        F.last("__s_rt", ignorenulls=True).over(w_chunks).alias("__c_rt"),
+        *[
+            F.last(f"__s_{c}", ignorenulls=True).over(w_chunks).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+
+    filled = df.select(
+        *[F.col(c) for c in lcols if c != on],
+        F.col(on),
+        CHUNK,
+        F.col("__t"),
+        F.col("__side"),
+        local_rt.alias("__l_rt"),
+        *[locals_[c].alias(f"__l_{c}") for c in value_cols],
+    ).filter(F.col("__side") == left_rank)
+    # no broadcast hint: carry is one row per (key, chunk) — tiny for the
+    # routed-hot subset this is built for, and AQE broadcasts it while it
+    # fits; beyond that the sort-merge join reuses filled's (key, chunk)
+    # hash partitioning, so only the carry side shuffles.
+    out = (
+        filled.join(carry, [on, CHUNK])
+        .select(
+            *[F.col(c) for c in lcols],
+            F.col("__t"),
+            F.coalesce("__l_rt", "__c_rt").alias("__asof_ts"),
+            *[
+                F.coalesce(f"__l_{c}", f"__c_{c}").alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    return _asof_project(out, lcols, value_cols, tolerance)
+
+
 def build_turn_features_chunked(
     transcripts: DataFrame,
     rolling_windows: tuple[float, ...] = (3600.0, 86400.0),

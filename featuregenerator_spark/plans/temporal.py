@@ -275,27 +275,18 @@ def sessionize(
     )
 
 
-def asof_join(
+def _asof_union(
     left: DataFrame,
     right: DataFrame,
     on: str,
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
-    strict: bool = False,
-    tolerance: float | None = None,
-) -> DataFrame:
-    """Sort-merge as-of join: each left row gets the latest right row with
-    ``right_ts <= left_ts`` (or ``<`` when strict) per key.
-
-    Implemented as union + windowed last(ignorenulls) — one shuffle on the
-    key, linear scan per partition, no per-group materialization (safe for
-    mega-keys, unlike per-group merge_asof). This is the backfill /
-    feature-snapshot join of the north rule.
-
-    tolerance: max allowed ``left_ts - right_ts`` (like merge_asof
-    tolerance / the kernel's timediff); matches outside it become null.
-    """
+    strict: bool,
+):
+    """Shared as-of scaffolding: tag both sides and union them so ONE
+    key-partitioned pass can fill latest-prior values. Returns
+    (unioned, lcols, left_rank)."""
     lcols = left.columns
     # side ordering at equal ts: right first (0) so `<=` sees it; strict
     # puts right after left (left sees only strictly earlier rows).
@@ -315,7 +306,49 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     ).withColumn("__rt", F.lit(None).cast("double"))
 
-    unioned = l.unionByName(r, allowMissingColumns=True)
+    return l.unionByName(r, allowMissingColumns=True), lcols, left_rank
+
+
+def _asof_project(out, lcols, value_cols, tolerance):
+    """Shared as-of output projection incl. the tolerance mask."""
+    if tolerance is not None:
+        within = (F.col("__t") - F.col("__asof_ts")) <= float(tolerance)
+        return out.select(
+            *[c for c in lcols],
+            *[
+                F.when(within, F.col(c)).alias(c) if c in value_cols else F.col(c)
+                for c in value_cols
+            ],
+            F.when(within, F.col("__asof_ts")).alias("asof_ts"),
+        )
+    return out.select(*lcols, *value_cols, F.col("__asof_ts").alias("asof_ts"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Sort-merge as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` (or ``<`` when strict) per key.
+
+    Implemented as union + windowed last(ignorenulls) — one shuffle on the
+    key, linear scan per partition, no per-group materialization (safe for
+    mega-keys, unlike per-group merge_asof). This is the backfill /
+    feature-snapshot join of the north rule. For a key so hot that even
+    the linear scan serializes, see plans/skew.py:asof_join_chunked.
+
+    tolerance: max allowed ``left_ts - right_ts`` (like merge_asof
+    tolerance / the kernel's timediff); matches outside it become null.
+    """
+    unioned, lcols, left_rank = _asof_union(
+        left, right, on, left_ts, right_ts, value_cols, strict
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("__t"), F.col("__side"))
@@ -333,19 +366,7 @@ def asof_join(
         ],
     )
     out = filled.filter(F.col("__side") == left_rank)
-    if tolerance is not None:
-        within = (F.col("__t") - F.col("__asof_ts")) <= float(tolerance)
-        out = out.select(
-            *[c for c in lcols],
-            *[
-                F.when(within, F.col(c)).alias(c) if c in value_cols else F.col(c)
-                for c in value_cols
-            ],
-            F.when(within, F.col("__asof_ts")).alias("asof_ts"),
-        )
-    else:
-        out = out.select(*lcols, *value_cols, F.col("__asof_ts").alias("asof_ts"))
-    return out
+    return _asof_project(out, lcols, value_cols, tolerance)
 
 
 def asof_join_pandas(

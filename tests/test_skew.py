@@ -109,6 +109,76 @@ def test_auto_router_parity_and_routing(spark):
     assert got_cold == want_cold
 
 
+def test_asof_join_chunked_matches_window_form(spark):
+    """asof_join_chunked must agree EXACTLY with the standard union+window
+    as-of join — including strict/tolerance, a mega-key spanning many
+    chunks, idle multi-chunk gaps (carry across empty chunks), and a
+    small chunk span — without any horizon assumption."""
+    from featuregenerator_spark.plans.skew import asof_join_chunked
+    from featuregenerator_spark.plans.temporal import asof_join, with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import (
+        synth_snapshots,
+        synth_transcripts,
+    )
+
+    tr_raw = synth_transcripts(spark, n_convs=15, max_turns=20, skew_conv_turns=2500)
+    tr = with_ts_seconds(tr_raw).select("conv_id", "turn_idx", "ts_sec")
+    snaps = synth_snapshots(spark, tr_raw).select(
+        "conv_id",
+        F.col("snap_ts").cast("double").alias("snap_ts"),
+        F.col("feature_state")["turns_seen"].alias("turns_seen"),
+    )
+    for kwargs in (
+        dict(strict=False),
+        dict(strict=True),
+        dict(strict=True, tolerance=3600.0),
+    ):
+        for span in (86400.0, 3600.0):
+            a = asof_join(
+                tr, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+                value_cols=["turns_seen"], **kwargs,
+            )
+            b = asof_join_chunked(
+                tr, snaps, on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+                value_cols=["turns_seen"], chunk_span_seconds=span, **kwargs,
+            )
+            ka = {
+                (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+                for r in a.collect()
+            }
+            kb = {
+                (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+                for r in b.collect()
+            }
+            assert ka == kb, (kwargs, span)
+
+
+def test_asof_join_chunked_null_ts(spark):
+    """Null-ts rows reproduce the standard path: a null-ts right row is a
+    '-infinity' snapshot visible to every left row; a null-ts left row
+    matches only null-ts rights."""
+    from featuregenerator_spark.plans.skew import asof_join_chunked
+    from featuregenerator_spark.plans.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1, 100.0), ("k", 2, None), ("k", 3, 90000.0)],
+        "conv_id string, turn_idx int, ts_sec double",
+    )
+    right = spark.createDataFrame(
+        [("k", None, 7.0), ("k", 95.0, 9.0)],
+        "conv_id string, snap_ts double, v double",
+    )
+    args = dict(on="conv_id", left_ts="ts_sec", right_ts="snap_ts", value_cols=["v"])
+    ka = {r["turn_idx"]: (r["v"], r["asof_ts"]) for r in asof_join(left, right, **args).collect()}
+    kb = {
+        r["turn_idx"]: (r["v"], r["asof_ts"])
+        for r in asof_join_chunked(left, right, chunk_span_seconds=3600.0, **args).collect()
+    }
+    assert ka == kb
+    assert kb[1] == (9.0, 95.0) and kb[3] == (9.0, 95.0)  # carry across chunks
+    assert kb[2] == (7.0, None)  # null-ts left sees only the null-ts right
+
+
 def test_pipeline_handles_mega_conversation(spark):
     tr = synth_transcripts(spark, n_convs=5, max_turns=10, skew_conv_turns=20000)
     feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
