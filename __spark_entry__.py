@@ -229,6 +229,24 @@ def q_backfill_purchase(spark, sf_dir):
     )
 
 
+def q_backfill_purchase_chunked(spark, sf_dir):
+    """Skew-parallel forward-fill (plans/skew.py): per-chunk local fill +
+    per-key prefix carry; oracle = the STANDARD backfill query's SQL
+    verbatim (gate-proven equality)."""
+    from featuregenerator_spark.plans.skew import backfill_chunked
+
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    filled = backfill_chunked(
+        ev, ["pv"], conv="user_id", order_by=("ts", "event_id"),
+        chunk_span_seconds=86400.0,
+    )
+    return filled.select(
+        "event_id", F.round("pv", 4).alias("last_purchase_ffill")
+    )
+
+
 def q_lag_lead_value(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -1923,9 +1941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
+        "backfill_purchase_chunked": q_backfill_purchase_chunked,
         # --- stable queries keeping driver coverage this round ---
         "rolling_sum_24h": q_rolling_sum_24h,
-        "backfill_purchase": q_backfill_purchase,
         "lag_lead_value": q_lag_lead_value,
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -1952,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_count_1h": q_rolling_count_1h,
         "sessionize_30m": q_sessionize_30m,
         "asof_last_purchase": q_asof_last_purchase,
+        "backfill_purchase": q_backfill_purchase,
         "gap_seconds": q_gap_seconds,
         "session_stats": q_session_stats,
         "asof_tolerance_1h": q_asof_tolerance,
@@ -2601,4 +2620,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, max(value) AS pv FROM events
                 WHERE event_type = 'purchase' GROUP BY user_id, ts
             ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
+        "backfill_purchase_chunked": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                    IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS last_purchase_ffill
+            FROM events""",
     }

@@ -256,6 +256,66 @@ def asof_join_chunked(
     return _asof_project(out, lcols, value_cols, tolerance)
 
 
+def backfill_chunked(
+    df: DataFrame,
+    cols,
+    conv: str = temporal.CONV,
+    ts_sec: str = temporal.TS_SEC,
+    order_by=(temporal.TS_SEC, temporal.TURN),
+    chunk_span_seconds: float = 86400.0,
+) -> DataFrame:
+    """Skew-parallel forward-fill: same semantics as
+    :func:`temporal.backfill` via per-chunk local fill + per-key prefix
+    carry (same two-level scan as :func:`asof_join_chunked`; exact for
+    any span). Requires a TIME-MAJOR fill order (first order key is the
+    timestamp) so time chunks are prefix-aligned with the fill order —
+    same-ts ties always land in one chunk, so tiebreak keys are safe.
+    """
+    if order_by[0] not in (ts_sec, temporal.TS):
+        raise ValueError(
+            "backfill_chunked needs a time-major order (first order key "
+            f"must be the timestamp; got {order_by[0]!r})"
+        )
+    span = float(chunk_span_seconds)
+    chunk = F.coalesce(
+        F.floor(F.col(ts_sec) / F.lit(span)).cast("long"), F.lit(-(2**62))
+    )
+    df = df.withColumn(CHUNK, chunk)
+    w = (
+        Window.partitionBy(conv, CHUNK)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summaries = df.groupBy(conv, CHUNK).agg(
+        *[
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.struct(*order_by))
+            ).alias(f"__s_{c}")
+            for c in cols
+        ]
+    )
+    w_chunks = (
+        Window.partitionBy(conv)
+        .orderBy(CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        conv,
+        CHUNK,
+        *[
+            F.last(f"__s_{c}", ignorenulls=True).over(w_chunks).alias(f"__c_{c}")
+            for c in cols
+        ],
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = out.join(carry, [conv, CHUNK])
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__c_{c}")))
+    return out.drop(CHUNK, *[f"__c_{c}" for c in cols])
+
+
 def build_turn_features_chunked(
     transcripts: DataFrame,
     rolling_windows: tuple[float, ...] = (3600.0, 86400.0),

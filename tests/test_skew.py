@@ -179,6 +179,35 @@ def test_asof_join_chunked_null_ts(spark):
     assert kb[2] == (7.0, None)  # null-ts left sees only the null-ts right
 
 
+def test_backfill_chunked_matches_standard(spark):
+    """backfill_chunked must equal the standard forward-fill on a skewed
+    table with sparse non-null values (multi-chunk carry), at two spans;
+    non-time-major order is rejected."""
+    from featuregenerator_spark.plans.skew import backfill_chunked
+    from featuregenerator_spark.plans.temporal import backfill, with_ts_seconds
+
+    tr = with_ts_seconds(
+        synth_transcripts(spark, n_convs=10, max_turns=15, skew_conv_turns=2000)
+    ).withColumn(
+        "pv", F.when(F.col("role") == "tool", F.length("text").cast("double"))
+    )
+    order = ("ts_sec", "turn_idx")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["pv"]
+        for r in backfill(tr, ["pv"], order_by=order).collect()
+    }
+    for span in (86400.0, 7200.0):
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["pv"]
+            for r in backfill_chunked(
+                tr, ["pv"], order_by=order, chunk_span_seconds=span
+            ).collect()
+        }
+        assert got == want, span
+    with pytest.raises(ValueError, match="time-major"):
+        backfill_chunked(tr, ["pv"], order_by=("turn_idx", "ts_sec"))
+
+
 def test_pipeline_handles_mega_conversation(spark):
     tr = synth_transcripts(spark, n_convs=5, max_turns=10, skew_conv_turns=20000)
     feat = build_turn_features(with_ts_seconds(tr)).select(*FEATURE_COLUMNS)
