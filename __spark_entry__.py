@@ -614,36 +614,29 @@ def q_dedup_cc_lsh(spark, sf_dir):
     )
 
 
-def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=None):
-    """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
-    re-checking exact Jaccard on the candidates (no SQL oracle: hash
-    functions are engine-specific; driver records rows-only).
+def _hashed_token_docs(spark, sf_dir):
+    """(doc_id, lang, th, n): per-doc distinct-token xxhash64 arrays.
 
-    bucket_cap guards the quadratic candidate expansion against degenerate
-    band buckets (boilerplate/empty shingles hashing identically): buckets
-    with more than bucket_cap members are dropped before pairing, bounding
-    per-bucket work at cap^2. The default is lossless on the test corpora
-    (largest real near-dup cluster bucket: 262 @ sf0.01, 2578 @ sf0.1 —
-    verified same output capped vs uncapped). Capped runs are AUDITABLE:
-    pass a pyspark Observation and the bucket-size aggregation reports
-    (dropped_buckets, total_buckets) with the job — production dedup
-    wires this in (pinned in tests/test_invariants.py); the default path
-    omits the CollectMetrics node because it sits in a subtree the
-    pairing self-join references twice and blocks plan reuse (measured
-    5.4s -> 13.5s+ at sf0.1)."""
-    n_hashes, bands = 16, 4  # 4 rows per band
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    # hash each token string ONCE, then derive the n_hashes permutations
-    # from the 8-byte hash (fixed-width rehash ~10x cheaper than
-    # re-hashing the string per permutation)
-    hashed = docs.select(
-        "doc_id", "toks", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
-    )
+    Each token string is hashed ONCE; every MinHash permutation and
+    every exact-Jaccard verification downstream derives from the 8-byte
+    hash (fixed-width rehash ~10x cheaper than re-hashing strings, and
+    hash-array Jaccard == string-token Jaccard absent a ~V^2/2^64
+    vocabulary collision — DuckDB-gate-proven on the exact queries)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    ).withColumn("n", F.size("th"))
+
+
+def _minhash_band_table(hashed, n_hashes: int = 16, bands: int = 4):
+    """Narrow LSH band table (doc_id, band, bucket) from token-hash
+    arrays — narrow FIRST so the token arrays are never duplicated
+    across candidate pairs (they would dominate the shuffle)."""
     sigs = hashed.select(
         "doc_id",
-        "toks",
         F.array(
             *[
                 F.array_min(
@@ -654,10 +647,7 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
         ).alias("sig"),
     )
     rows_per_band = n_hashes // bands
-    # narrow band table first: (doc_id, band, bucket) only — the token
-    # arrays would otherwise be duplicated across every candidate pair
-    # and dominate the shuffle.
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -678,6 +668,27 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=None):
+    """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
+    re-checking exact Jaccard on the candidates (no SQL oracle: hash
+    functions are engine-specific; driver records rows-only).
+
+    bucket_cap guards the quadratic candidate expansion against degenerate
+    band buckets (boilerplate/empty shingles hashing identically): buckets
+    with more than bucket_cap members are dropped before pairing, bounding
+    per-bucket work at cap^2. The default is lossless on the test corpora
+    (largest real near-dup cluster bucket: 262 @ sf0.01, 2578 @ sf0.1 —
+    verified same output capped vs uncapped). Capped runs are AUDITABLE:
+    pass a pyspark Observation and the bucket-size aggregation reports
+    (dropped_buckets, total_buckets) with the job — production dedup
+    wires this in (pinned in tests/test_invariants.py); the default path
+    omits the CollectMetrics node because it sits in a subtree the
+    pairing self-join references twice and blocks plan reuse (measured
+    5.4s -> 13.5s+ at sf0.1)."""
+    hashed = _hashed_token_docs(spark, sf_dir)
+    banded = _minhash_band_table(hashed)
     # hot-bucket cap: aggregate bucket sizes (narrow table, map-side
     # partials) and keep only rows in buckets <= cap; AQE broadcasts the
     # small filtered-sizes side of the semi-join.
@@ -724,7 +735,7 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
     # entirely. No explicit broadcast hint: AQE broadcasts the hash side
     # while it fits the 64MB threshold and falls back to a shuffle join
     # beyond it (the 100x-scale path).
-    th = hashed.select("doc_id", "th", F.size("th").alias("n"))
+    th = hashed.select("doc_id", "th", "n")
     cand = (
         cand.join(
             th.select(
@@ -748,6 +759,122 @@ def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=
     return cand.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.8)
+
+
+def _incremental_matches(spark, sf_dir, via_lsh: bool):
+    """All (new-batch doc, old-corpus doc, jaccard >= 0.8) near-dup
+    matches for the incremental-ingest shape: the batch is
+    ``doc_id % 10 == 0`` (a deterministic 10% "today's ingest"), the
+    corpus is everything else. The asymmetric join is what matters at
+    100 TB: a daily batch never re-pairs corpus x corpus — candidate
+    work is |batch| x |corpus|/selectivity instead of |corpus|^2, and
+    only the (band, bucket)-keyed narrow tables shuffle.
+
+    via_lsh=False: exact token-hash Jaccard over same-lang pairs with
+    the lossless size-ratio prune (the DuckDB-checkable form).
+    via_lsh=True: MinHash band equijoin between the batch's and the
+    corpus's band tables (same 16-hash/4-band scheme and hot-bucket cap
+    as q_minhash_lsh_candidates), then the same exact-Jaccard + same-
+    lang verification on the candidates — precision 1 by construction,
+    banding recall pinned in tests/test_incremental.py."""
+    hashed = _hashed_token_docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 0
+    par = spark.sparkContext.defaultParallelism
+    if via_lsh:
+        banded = _minhash_band_table(hashed)
+        # same degenerate-bucket guard as the full-corpus query: sizes
+        # aggregate over ALL docs (a boilerplate bucket is hot on both
+        # sides), lossless at the default cap on the test corpora
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("bsz") <= 4000).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        nb = banded.filter(is_new).alias("a")
+        ob = banded.filter(~is_new).repartition(par, "doc_id").alias("b")
+        pairs = (
+            nb.join(
+                ob,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("match_id"),
+            )
+            .dropDuplicates(["doc_id", "match_id"])
+        )
+        a = hashed.select(
+            F.col("doc_id"), F.col("lang").alias("la"),
+            F.col("th").alias("ha"), F.col("n").alias("na"),
+        )
+        b = hashed.select(
+            F.col("doc_id").alias("match_id"), F.col("lang").alias("lb"),
+            F.col("th").alias("hb"), F.col("n").alias("nb"),
+        )
+        # verify joins: AQE broadcasts the hash side while it fits, else
+        # shuffle join (the 100x path); same-lang mirrors the exact form
+        pairs = pairs.join(a, "doc_id").join(b, "match_id").filter(
+            F.col("la") == F.col("lb")
+        )
+    else:
+        nb = hashed.filter(is_new).alias("a")
+        ob = hashed.filter(~is_new).repartition(par, "doc_id").alias("b")
+        pairs = nb.join(
+            ob,
+            (F.col("a.lang") == F.col("b.lang"))
+            # lossless prune: jac >= 0.8 requires min(|A|,|B|) >= 0.8*max
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(0.8) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            F.col("a.th").alias("ha"), F.col("a.n").alias("na"),
+            F.col("b.th").alias("hb"), F.col("b.n").alias("nb"),
+        )
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        pairs.withColumn("__jac", jac)
+        .filter(F.col("__jac") >= 0.8)
+        .select("doc_id", "match_id", F.round("__jac", 4).alias("jaccard"))
+    )
+
+
+def _best_match(matches):
+    """One dedup decision per batch doc: highest jaccard, ties to the
+    smallest corpus id (deterministic; map-side-partial max_by, no sort)."""
+    return matches.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct("match_id", "jaccard"),
+            F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nm")),
+        ).alias("m")
+    ).select("doc_id", F.col("m.match_id").alias("match_id"), F.col("m.jaccard").alias("jaccard"))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup decision, exact form (DuckDB-oracle-checked):
+    for each new-batch doc that near-duplicates (token Jaccard >= 0.8,
+    same lang) some existing-corpus doc, emit its best corpus match.
+    Within-batch duplicates are the batch's own full-dedup pass
+    (q_neardup_token_jaccard / q_dedup_cc_lsh); this query is the
+    batch-vs-corpus half that makes daily ingest linear in batch size."""
+    return _best_match(_incremental_matches(spark, sf_dir, via_lsh=False))
+
+
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Scale path of q_dedup_incremental: MinHash band equijoin between
+    the batch's and the corpus's narrow band tables replaces the
+    O(|batch| x |corpus|/lang) exact pair scan; candidates are exact-
+    Jaccard-verified in-query (precision 1). Hash-dependent -> rows-only
+    driver check; precision/recall vs the exact form pinned in
+    tests/test_incremental.py."""
+    return _best_match(_incremental_matches(spark, sf_dir, via_lsh=True))
 
 
 def _simhash_pack(hs):
@@ -1942,9 +2069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         # --- stable queries keeping driver coverage this round ---
-        "rolling_sum_24h": q_rolling_sum_24h,
-        "lag_lead_value": q_lag_lead_value,
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
@@ -1967,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02) ---
+        "rolling_sum_24h": q_rolling_sum_24h,
+        "lag_lead_value": q_lag_lead_value,
         "rolling_count_1h": q_rolling_count_1h,
         "sessionize_30m": q_sessionize_30m,
         "asof_last_purchase": q_asof_last_purchase,
@@ -2205,6 +2334,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, least(node, min(r)) AS component
             FROM reach GROUP BY node""",
+        "dedup_incremental": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+            m AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks)))
+                     AS jac
+              FROM t a JOIN t b ON a.lang = b.lang
+              WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+            f AS (SELECT doc_id, match_id, round(jac, 4) AS jaccard
+                  FROM m WHERE jac >= 0.8)
+            SELECT doc_id, match_id, jaccard FROM (
+              SELECT f.*, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY jaccard DESC, match_id) AS rn
+              FROM f)
+            WHERE rn = 1""",
         "neardup_token_jaccard": """
             WITH t AS (
               SELECT doc_id, lang,
