@@ -213,6 +213,7 @@ def main() -> None:
 
     skew_ratio = skew_mega_speedup = None
     skew_mega: dict[str, float] = {}
+    incremental: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -237,6 +238,22 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             queries[name] = round(best, 3)
 
+        # incremental-dedup legs (round 3 additions): like skew_mega,
+        # reported as separate fields, NOT in the headline sum, to keep
+        # the total comparable round-over-round. The pair contrasts the
+        # exact batch-vs-corpus pair scan with the LSH band-equijoin
+        # scale path on identical output (best-match decisions pinned
+        # identical in tests/test_incremental.py).
+        for name in ("dedup_incremental", "dedup_incremental_lsh"):
+            df = qmap[name](spark, SF_DIR)
+            _noop(df)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _noop(df)
+                best = min(best, time.time() - t0)
+            incremental[name] = round(best, 3)
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -252,6 +269,7 @@ def main() -> None:
                 "skew_slowdown_ratio": skew_ratio,
                 "skew_mega": skew_mega,
                 "skew_mega_chunked_speedup": skew_mega_speedup,
+                "dedup_incremental": incremental,
             }
         )
     )
