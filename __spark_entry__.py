@@ -670,6 +670,27 @@ def _minhash_band_table(hashed, n_hashes: int = 16, bands: int = 4):
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def q_dedup_cc_incremental(spark, sf_dir):
+    """Incremental clustering: the 10% batch's near-dup edges merge into
+    the corpus's existing components via the contracted-graph CC
+    (connected_components_incremental) — per-batch work scales with the
+    batch, not the corpus. Provably identical to from-scratch CC over
+    the union edge set, so the oracle SQL is q_dedup_connected_components'
+    text VERBATIM (the gate proves incremental == full)."""
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components_incremental,
+    )
+
+    edges = q_neardup_token_jaccard(spark, sf_dir)
+    touches_batch = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    comp = connected_components_incremental(
+        edges.filter(~touches_batch), edges.filter(touches_batch)
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 4000, observation=None):
     """MinHash+LSH near-dup candidates — Spark-native hashing, verified by
     re-checking exact Jaccard on the candidates (no SQL oracle: hash
@@ -2071,13 +2092,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "dedup_cc_incremental": q_dedup_cc_incremental,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
         "combo_feature": q_combo_feature,
         "raw_bucketize": q_raw_bucketize,
-        "raw_zscore": q_raw_zscore,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
         "lookup_kv_feature": q_lookup_kv_feature,
@@ -2096,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02) ---
         "rolling_sum_24h": q_rolling_sum_24h,
         "lag_lead_value": q_lag_lead_value,
+        "raw_zscore": q_raw_zscore,
         "rolling_count_1h": q_rolling_count_1h,
         "sessionize_30m": q_sessionize_30m,
         "asof_last_purchase": q_asof_last_purchase,
@@ -2151,7 +2173,7 @@ END"""
 
 def oracle_sql() -> dict[str, str]:
     gap = "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-    return {
+    sql = {
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
@@ -2778,3 +2800,9 @@ def oracle_sql() -> dict[str, str]:
                    AS last_purchase_ffill
             FROM events""",
     }
+    # incremental CC is provably identical to from-scratch CC over the
+    # union edge set (contraction preserves connectivity; labels are
+    # component minima), so its oracle is the full-CC SQL verbatim — the
+    # gate itself proves incremental == full.
+    sql["dedup_cc_incremental"] = sql["dedup_connected_components"]
+    return sql

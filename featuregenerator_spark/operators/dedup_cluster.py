@@ -148,6 +148,67 @@ def connected_components(
     return labels
 
 
+def connected_components_incremental(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge a batch's edges into an already-clustered corpus without
+    re-clustering the corpus: contract every existing component to its
+    label, run CC on the SMALL contracted delta graph (batch nodes +
+    touched component labels), and compose the label maps.
+
+    EXACTLY equal to ``connected_components(old_edges UNION new_edges)``
+    (pinned in tests/test_incremental.py): contracting a connected
+    subgraph preserves connectivity, and since an existing label is the
+    minimum id of its component (label <= every member), the second
+    pass's min-label over {labels} U {batch ids} is the global minimum
+    of each merged component. At 100 TB the first CC stands in for the
+    STORED label table of the previous run — the per-batch cost is then
+    only the contracted-graph CC, whose size is the number of
+    batch-touched components + batch nodes, not the corpus.
+    """
+    old_cc = connected_components(old_edges, src, dst, max_iter)
+    e = new_edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+    # endpoints with an existing label contract to it; endpoints unseen
+    # by the old graph (batch docs, or corpus docs whose only edges are
+    # new) stay themselves
+    e = (
+        e.join(
+            old_cc.select(F.col("node").alias("eu"), F.col("comp").alias("cu")),
+            "eu",
+            "left",
+        )
+        .join(
+            old_cc.select(F.col("node").alias("ev"), F.col("comp").alias("cv")),
+            "ev",
+            "left",
+        )
+        .select(
+            F.coalesce("cu", "eu").alias("u2"), F.coalesce("cv", "ev").alias("v2")
+        )
+        .filter(F.col("u2") != F.col("v2"))
+    )
+    merged = connected_components(e, "u2", "v2", max_iter)
+    # compose: corpus nodes follow their label's new assignment (or keep
+    # it if the component gained no batch member)...
+    old_final = old_cc.join(
+        merged.select(F.col("node").alias("comp"), F.col("comp").alias("mcomp")),
+        "comp",
+        "left",
+    ).select("node", F.coalesce("mcomp", "comp").alias("comp"))
+    # ...while contracted-graph nodes that are NOT existing labels (batch
+    # docs + old-graph-unseen corpus docs) are emitted directly. Labels
+    # are themselves corpus nodes, so the anti-join removes exactly the
+    # rows old_final already covers.
+    direct = merged.join(
+        old_cc.select(F.col("comp").alias("node")).distinct(), "node", "left_anti"
+    )
+    return old_final.unionByName(direct)
+
+
 def dedup_clusters(
     edges: DataFrame,
     src: str = "doc_a",

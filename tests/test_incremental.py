@@ -53,6 +53,50 @@ def test_lsh_best_match_identical_to_exact(spark, entry):
     assert exact and exact == lsh
 
 
+def test_cc_incremental_equals_full(spark, entry):
+    """The contracted-graph incremental CC reproduces from-scratch CC
+    over the union edge set exactly at sf0.01 (also proven by the DuckDB
+    gate, whose oracle SQL is shared verbatim between the two queries)."""
+    qs = entry.queries()
+    full = {
+        (r.doc_id, r.component)
+        for r in qs["dedup_connected_components"](spark, SF01).collect()
+    }
+    inc = {
+        (r.doc_id, r.component)
+        for r in qs["dedup_cc_incremental"](spark, SF01).collect()
+    }
+    assert full and inc == full
+
+
+def test_cc_incremental_bridge_and_untouched(spark):
+    """Micro-graph exercising every composition path: a batch node
+    bridging two existing components (merge + relabel), an untouched
+    existing component (label kept), and a batch-only chain (emitted
+    directly)."""
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame([(1, 2), (5, 6), (7, 8)], ["doc_a", "doc_b"])
+    new = spark.createDataFrame([(0, 2), (0, 5), (3, 9)], ["doc_a", "doc_b"])
+    inc = {
+        (r.node, r.comp)
+        for r in connected_components_incremental(old, new).collect()
+    }
+    full = {
+        (r.node, r.comp)
+        for r in connected_components(old.unionByName(new)).collect()
+    }
+    assert inc == full
+    assert inc == {
+        (0, 0), (1, 0), (2, 0), (5, 0), (6, 0),  # bridged merge -> min id 0
+        (7, 7), (8, 7),                          # untouched component
+        (3, 3), (9, 3),                          # batch-only chain
+    }
+
+
 def test_batch_corpus_membership(spark, entry):
     """Asymmetry invariant: decisions are FOR batch docs (doc_id % 10
     == 0) and point AT corpus docs — the join never pairs corpus x
