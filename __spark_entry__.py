@@ -215,6 +215,38 @@ def q_asof_last_purchase_chunked(spark, sf_dir):
     )
 
 
+def q_asof_snapshot_auto(spark, sf_dir):
+    """Heavy-hitter-ROUTED as-of join (plans/skew.py:asof_join_auto — the
+    router the flagship snapshot join and job.py now use): keys with more
+    than 80 combined rows take the chunked skew-parallel branch, the rest
+    the standard branch (sf0.01 user counts are 49-86, so BOTH branches
+    carry real rows). Oracle = the STANDARD as-of query's DuckDB SQL
+    verbatim, so the gate proves routed == unrouted."""
+    from featuregenerator_spark.plans.skew import asof_join_auto
+
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+        .withColumn("pts", F.col("ts").cast("timestamp").cast("double"))
+    )
+    joined = asof_join_auto(
+        ev.select("event_id", "user_id", "ts_sec"),
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="pts",
+        value_cols=["pv"],
+        strict=True,
+        hot_rows_threshold=80,
+        chunk_span_seconds=86400.0,
+    )
+    return joined.select(
+        "event_id", F.round("pv", 4).alias("last_purchase_value")
+    )
+
+
 def q_backfill_purchase(spark, sf_dir):
     from featuregenerator_spark.plans.temporal import backfill
 
@@ -241,6 +273,25 @@ def q_backfill_purchase_chunked(spark, sf_dir):
     filled = backfill_chunked(
         ev, ["pv"], conv="user_id", order_by=("ts", "event_id"),
         chunk_span_seconds=86400.0,
+    )
+    return filled.select(
+        "event_id", F.round("pv", 4).alias("last_purchase_ffill")
+    )
+
+
+def q_backfill_purchase_auto(spark, sf_dir):
+    """Heavy-hitter-routed forward-fill (plans/skew.py:backfill_auto):
+    users above 70 events take the chunked branch, the rest the standard
+    branch (both populated at sf0.01). Oracle = the STANDARD backfill
+    query's SQL verbatim."""
+    from featuregenerator_spark.plans.skew import backfill_auto
+
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    filled = backfill_auto(
+        ev, ["pv"], conv="user_id", order_by=("ts", "event_id"),
+        hot_rows_threshold=70, chunk_span_seconds=86400.0,
     )
     return filled.select(
         "event_id", F.round("pv", 4).alias("last_purchase_ffill")
@@ -685,6 +736,56 @@ def q_dedup_cc_incremental(spark, sf_dir):
     touches_batch = (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
     comp = connected_components_incremental(
         edges.filter(~touches_batch), edges.filter(touches_batch)
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def q_dedup_cc_incremental_lsh(spark, sf_dir):
+    """The FULLY-SCALED incremental clustering composition: every leg is
+    the LSH/scale form, no O(n^2) pair scan anywhere.
+
+      old edges   = corpus-internal LSH edges (stand-in for the STORED
+                    label table of the previous run — at production the
+                    first CC inside connected_components_incremental is
+                    replaced by reading those labels);
+      batch edges = batch-vs-corpus band equijoin
+                    (_incremental_matches(via_lsh=True): |batch| x
+                    |corpus|-linear, never corpus x corpus) UNION the
+                    batch's internal LSH edges (the daily batch's own
+                    full-dedup pass — |batch|^2-bounded, tiny).
+
+    The three legs partition the full LSH edge set exactly, and the
+    contracted-graph merge is provably equal to from-scratch CC on the
+    union, so the output is IDENTICAL to q_dedup_cc_lsh — pinned in
+    tests/test_incremental.py along with the >= 99%-coverage /
+    zero-mismatch parity vs the exact-edge incremental CC.
+    Hash-dependent edge source -> rows-only driver check (same status as
+    every LSH-edge query)."""
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components_incremental,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    la = docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("lang", "lang_a")
+    lb = docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("lang", "lang_b")
+    lsh_edges = (
+        q_minhash_lsh_candidates(spark, sf_dir)
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+    in_batch_a = F.col("doc_a") % 10 == 0
+    in_batch_b = F.col("doc_b") % 10 == 0
+    old_edges = lsh_edges.filter(~in_batch_a & ~in_batch_b)
+    batch_internal = lsh_edges.filter(in_batch_a & in_batch_b)
+    batch_vs_corpus = _incremental_matches(spark, sf_dir, via_lsh=True).select(
+        F.col("doc_id").alias("doc_a"), F.col("match_id").alias("doc_b")
+    )
+    comp = connected_components_incremental(
+        old_edges, batch_internal.unionByName(batch_vs_corpus)
     )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
@@ -1254,8 +1355,6 @@ def q_streaming_snapshot_parity(spark, sf_dir):
     state carry-over and checkpoint resume are pinned separately in
     tests/test_streaming_multimodal.py; the memory sink is the bounded
     parity harness (production streams write files/Kafka)."""
-    import uuid
-
     from featuregenerator_spark.streaming.stream_features import (
         read_event_stream,
         run_stream_to_memory,
@@ -1264,7 +1363,10 @@ def q_streaming_snapshot_parity(spark, sf_dir):
 
     stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     out = running_event_snapshot(stream)
-    name = f"ev_snap_{uuid.uuid4().hex[:8]}"
+    # deterministic sink name, replaced per run — uuid names accumulated
+    # one in-memory table per invocation across a bench/driver session
+    name = "ev_snap_parity"
+    spark.catalog.dropTempView(name)
     run_stream_to_memory(out, name)
     t = spark.table(name)
     # pandas emits NaN (not NULL) for each user's first gap; align with
@@ -2093,6 +2195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
+        # --- added or changed in round 4 (must sit in slots 1-50; the
+        # --- stated rotation policy: any query whose plan changes in a
+        # --- round re-enters the driver window that round) ---
+        "asof_snapshot_auto": q_asof_snapshot_auto,
+        "backfill_purchase_auto": q_backfill_purchase_auto,
+        "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -2104,17 +2212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_kv_feature": q_lookup_kv_feature,
         "lookup_gap_kernel": q_lookup_gap_kernel,
         "kgb_hit_flag": q_kgb_hit_flag,
-        "overlap_common": q_overlap_common,
-        "neardup_token_jaccard": q_neardup_token_jaccard,
-        "ann_cosine_top10": q_ann_cosine_top10,
-        # streaming path gets its first oracle-checked driver row (r03)
+        # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id_ngram": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
-        # --- tail (green driver rows recorded in CORRECTNESS_r01/r02) ---
+        # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "neardup_token_jaccard": q_neardup_token_jaccard,
+        "ann_cosine_top10": q_ann_cosine_top10,
+        "overlap_common": q_overlap_common,
         "rolling_sum_24h": q_rolling_sum_24h,
         "lag_lead_value": q_lag_lead_value,
         "raw_zscore": q_raw_zscore,
@@ -2792,6 +2900,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'purchase' GROUP BY user_id, ts
             ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
         "backfill_purchase_chunked": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                    IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS last_purchase_ffill
+            FROM events""",
+        # the ROUTED forms (plans/skew.py:asof_join_auto / backfill_auto —
+        # what the flagship snapshot join and job.py call) reuse the
+        # standard queries' oracle SQL verbatim at a threshold that puts
+        # real rows through BOTH branches: the gate proves routed ==
+        # unrouted.
+        "asof_snapshot_auto": """
+            SELECT e.event_id, round(p.pv, 4) AS last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS pv FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) p ON e.user_id = p.user_id AND e.ts > p.ts""",
+        "backfill_purchase_auto": """
             SELECT event_id,
                    round(last_value(CASE WHEN event_type = 'purchase' THEN value END
                                     IGNORE NULLS)

@@ -156,7 +156,15 @@ def run_skew_stress(spark) -> dict[str, float]:
     }
     out: dict[str, float] = {}
     for name, (shape_name, builder) in legs.items():
-        path = f"/tmp/fg_bench_{shape_name}"
+        # cache key embeds the shape kwargs + seed: editing the shapes dict
+        # must invalidate the staged parquet, or round-over-round skew
+        # ratios silently compare against stale inputs
+        import hashlib
+
+        shape_sig = hashlib.sha256(
+            repr(("seed", 42, sorted(shapes[shape_name].items()))).encode()
+        ).hexdigest()[:10]
+        path = f"/tmp/fg_bench_{shape_name}_{shape_sig}"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             tr = synth_transcripts(spark, seed=42, **shapes[shape_name])
             tr.repartition(64, "conv_id").write.mode("overwrite").parquet(path)

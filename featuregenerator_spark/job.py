@@ -41,6 +41,7 @@ def build_features_df(
     ds: str | None,
     config: dict | None,
     lookback_days: int = 1,
+    snapshots_path: str | None = None,
 ):
     """Features for one day-unit, point-in-time correct across unit
     boundaries: the scan includes ``lookback_days`` of history (>= the
@@ -67,11 +68,19 @@ def build_features_df(
             (F.col("ds").cast("string") >= lo)
             & (F.col("ds").cast("string") <= ds)
         )
+    snaps = spark.read.parquet(snapshots_path) if snapshots_path else None
     feat = build_turn_features(
         with_ts_seconds(df),
         gap_horizon_seconds=lookback_days * 86400.0,
+        # snapshot as-of backfill rides the heavy-hitter router
+        # (plans/skew.py:asof_join_auto): mega-conversations take the
+        # (conv, time_chunk) skew-parallel form, the rest the standard
+        # one-scan-per-key form
+        snapshots=snaps,
     )
     cols = list(FEATURE_COLUMNS)
+    if snaps is not None:
+        cols += ["asof_ts", "feature_state"]
     if config:
         from featuregenerator_spark.spec import compile_spec, parse_config
 
@@ -88,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", help="FeatureConfig JSON file (extra features)")
+    ap.add_argument(
+        "--snapshots",
+        help="feature-snapshot parquet (conv_id, snap_ts, feature_state) "
+        "for the as-of backfill; mega-conversations auto-route to the "
+        "skew-parallel chunked join",
+    )
     ap.add_argument("--ds-from")
     ap.add_argument("--ds-to")
     ap.add_argument("--app-name", default="fg-spark-job")
@@ -119,14 +134,18 @@ def main(argv: list[str] | None = None) -> int:
         recs = lineage.run_resumable(
             spark,
             ["all"],
-            lambda _k: build_features_df(spark, args.input, None, config),
+            lambda _k: build_features_df(
+                spark, args.input, None, config, snapshots_path=args.snapshots
+            ),
             args.output,
         )
     else:
         recs = lineage.run_resumable(
             spark,
             days,
-            lambda ds: build_features_df(spark, args.input, ds, config),
+            lambda ds: build_features_df(
+                spark, args.input, ds, config, snapshots_path=args.snapshots
+            ),
             args.output,
         )
     done = lineage.committed_partitions(args.output)

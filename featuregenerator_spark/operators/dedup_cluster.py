@@ -38,23 +38,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _latest_complete_round(spark, resume_dir: str) -> tuple[int, DataFrame | None]:
-    """Newest round under resume_dir with a _SUCCESS marker (committed
-    atomically by the parquet writer), or (-1, None)."""
-    import os
+def _hadoop_fs(spark, uri: str):
+    """(jvm, FileSystem, Path) for any Hadoop-supported URI — resume_dir
+    may be HDFS / object store on a cluster, so listing must go through
+    the Hadoop FileSystem API, not driver-local os.listdir."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, path
 
-    if not os.path.isdir(resume_dir):
-        return -1, None
-    rounds = sorted(
-        int(d.split("_")[-1])
-        for d in os.listdir(resume_dir)
-        if d.startswith("round_")
-        and os.path.exists(os.path.join(resume_dir, d, "_SUCCESS"))
-    )
+
+def _latest_complete_round(
+    spark, resume_dir: str
+) -> tuple[int, DataFrame | None, bool]:
+    """Newest round under resume_dir with a _SUCCESS marker (committed
+    atomically by the parquet writer), or (-1, None, False). The third
+    element is True when that round also carries a _CONVERGED_NNNN marker,
+    i.e. the prior run finished — its labels are already the fixed point."""
+    jvm, fs, root = _hadoop_fs(spark, resume_dir)
+    if not fs.exists(root):
+        return -1, None, False
+    rounds = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("round_")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            rounds.append(int(name.split("_")[-1]))
     if not rounds:
-        return -1, None
-    last = rounds[-1]
-    return last, spark.read.parquet(f"{resume_dir}/round_{last:04d}")
+        return -1, None, False
+    last = max(rounds)
+    converged = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(root, f"_CONVERGED_{last:04d}")
+    )
+    return last, spark.read.parquet(f"{resume_dir}/round_{last:04d}"), converged
+
+
+def _mark_converged(spark, resume_dir: str, round_idx: int) -> None:
+    """Touch an empty _CONVERGED_NNNN marker next to the round dirs so a
+    resumed job returns the persisted fixed point immediately instead of
+    burning a verification round (or spuriously raising when the prior run
+    converged exactly at its round budget)."""
+    jvm, fs, root = _hadoop_fs(spark, resume_dir)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(root, f"_CONVERGED_{round_idx:04d}"), True
+    ).close()
 
 
 def connected_components(
@@ -86,8 +116,12 @@ def connected_components(
     start_round = 0
     labels = None
     if resume_dir:
-        last, resumed = _latest_complete_round(spark, resume_dir)
+        last, resumed, already_converged = _latest_complete_round(spark, resume_dir)
         if resumed is not None:
+            if already_converged:
+                # prior run reached the fixed point (possibly exactly at its
+                # round budget) — nothing left to iterate
+                return resumed.select("node", "comp")
             start_round, labels = last + 1, resumed.select("node", "comp")
     if labels is None:
         labels = (
@@ -137,6 +171,8 @@ def connected_components(
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
+            if resume_dir:
+                _mark_converged(spark, resume_dir, i)
             break
     if changed != 0 and on_nonconverged == "raise":
         raise RuntimeError(

@@ -105,6 +105,7 @@ def build_turn_features(
     snapshots: DataFrame | None = None,
     num_partitions: int | None = None,
     gap_horizon_seconds: float | None = None,
+    snapshot_hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """transcripts -> per-turn feature DataFrame (the flagship query).
 
@@ -141,7 +142,14 @@ def build_turn_features(
 
     # --- as-of snapshot backfill -----------------------------------------
     if snapshots is not None:
-        df = temporal.asof_join(
+        # heavy-hitter-routed: a mega-conversation's snapshot join would
+        # otherwise run as ONE linear-scan task (the as-of window is
+        # partitioned by conv_id); keys above snapshot_hot_threshold rows
+        # take the (conv, time_chunk) skew-parallel form instead
+        # (plans/skew.py:asof_join_auto — exact, gate-proven)
+        from featuregenerator_spark.plans.skew import asof_join_auto
+
+        df = asof_join_auto(
             df,
             snapshots,
             on="conv_id",
@@ -149,6 +157,7 @@ def build_turn_features(
             right_ts="snap_ts",
             value_cols=["feature_state"],
             strict=True,
+            hot_rows_threshold=snapshot_hot_threshold,
         )
     return df
 

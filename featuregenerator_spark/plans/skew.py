@@ -350,6 +350,106 @@ def build_turn_features_chunked(
     return df.drop(CHUNK, HALO)
 
 
+def _hot_keys(df: DataFrame, key, hot_rows_threshold: int) -> DataFrame:
+    """Keys with more rows than the threshold — one map-side-partial
+    count, the result stays distributed (joined back broadcast-semi/anti,
+    never collected)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(hot_rows_threshold))
+        .select(key)
+    )
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols,
+    strict: bool = False,
+    tolerance: float | None = None,
+    hot_rows_threshold: int = 1_000_000,
+    chunk_span_seconds: float = 86400.0,
+) -> DataFrame:
+    """Heavy-hitter-routed as-of join: keys whose combined (left + right)
+    row count exceeds ``hot_rows_threshold`` take the skew-parallel
+    chunked path (:func:`asof_join_chunked`), everything else the
+    standard one-linear-scan-per-key path (:func:`temporal.asof_join`);
+    the two results union. As-of semantics are strictly per-key, so
+    splitting the key space is exact — pinned by the driver's
+    ``asof_snapshot_auto`` query, whose DuckDB oracle is the standard
+    as-of query's SQL verbatim at a threshold that exercises BOTH
+    branches.
+
+    The default threshold (1M rows in one key's scan) marks the point
+    where a single task's linear scan — tens of seconds — dominates a
+    stage; below it the serial form is cheaper (no summary/carry pass).
+    """
+    hot = _hot_keys(
+        left.select(F.col(on)).unionByName(right.select(F.col(on))),
+        on,
+        hot_rows_threshold,
+    )
+    cold = temporal.asof_join(
+        left.join(F.broadcast(hot), on, "left_anti"),
+        right.join(F.broadcast(hot), on, "left_anti"),
+        on,
+        left_ts,
+        right_ts,
+        value_cols,
+        strict,
+        tolerance,
+    )
+    hot_res = asof_join_chunked(
+        left.join(F.broadcast(hot), on, "left_semi"),
+        right.join(F.broadcast(hot), on, "left_semi"),
+        on,
+        left_ts,
+        right_ts,
+        value_cols,
+        strict,
+        tolerance,
+        chunk_span_seconds,
+    )
+    return cold.unionByName(hot_res)
+
+
+def backfill_auto(
+    df: DataFrame,
+    cols,
+    conv: str = temporal.CONV,
+    ts_sec: str = temporal.TS_SEC,
+    order_by=(temporal.TS_SEC, temporal.TURN),
+    hot_rows_threshold: int = 1_000_000,
+    chunk_span_seconds: float = 86400.0,
+) -> DataFrame:
+    """Heavy-hitter-routed forward-fill: hot keys go through
+    :func:`backfill_chunked`, cold keys through :func:`temporal.backfill`
+    (both with the same time-major order, which the chunked form
+    requires); exact by per-key decomposition. Driver-pinned via
+    ``backfill_purchase_auto`` (oracle SQL = the standard backfill
+    query's text verbatim)."""
+    hot = _hot_keys(df, conv, hot_rows_threshold)
+    cold = temporal.backfill(
+        df.join(F.broadcast(hot), conv, "left_anti"),
+        cols,
+        conv=conv,
+        order_by=order_by,
+    )
+    hot_res = backfill_chunked(
+        df.join(F.broadcast(hot), conv, "left_semi"),
+        cols,
+        conv=conv,
+        ts_sec=ts_sec,
+        order_by=order_by,
+        chunk_span_seconds=chunk_span_seconds,
+    )
+    return cold.unionByName(hot_res)
+
+
 def build_turn_features_auto(
     transcripts: DataFrame,
     hot_turns_threshold: int = 1_000_000,

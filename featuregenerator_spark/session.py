@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # GC checkpoint files once the RDD that produced them is collected;
+        # iterative jobs (connected components) otherwise leak one parquet
+        # tree per round across rounds/jobs.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -59,10 +63,18 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     # reliable checkpoint target for iterative algorithms (connected
     # components): localCheckpoint blocks die with their executor, so
-    # iterative jobs checkpoint here instead. On a cluster this is an
-    # HDFS/object-store URI via SPARK_GRAFT_CHECKPOINT_DIR.
+    # iterative jobs checkpoint here instead. On a cluster this MUST be a
+    # shared filesystem (HDFS/object store) via SPARK_GRAFT_CHECKPOINT_DIR —
+    # a node-local default like /tmp would scatter checkpoint partitions
+    # across executors' private disks, breaking re-reads after executor
+    # loss (the exact failure checkpointing exists to survive). So the
+    # /tmp default applies ONLY under a local master; on a non-local master
+    # with no explicit dir we leave it unset and connected_components falls
+    # back to localCheckpoint (best effort) rather than silently corrupting.
     if not spark.sparkContext.getCheckpointDir():
-        spark.sparkContext.setCheckpointDir(
-            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/fg_checkpoints")
-        )
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckpt is None and spark.sparkContext.master.startswith("local"):
+            ckpt = "/tmp/fg_checkpoints"
+        if ckpt is not None:
+            spark.sparkContext.setCheckpointDir(ckpt)
     return spark

@@ -153,16 +153,26 @@ EVENT_OUT_DDL = "event_id long, n_prior_events long, gap_seconds double"
 def read_event_stream(
     spark, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
+    import hashlib
     import os
     import shutil
     import tempfile
 
     if os.path.isfile(path):
         # FileStreamSource streams DIRECTORIES; the driver's test tables
-        # are single files, so stage a copy under a temp dir (tiny at
-        # test scale — production inputs are directories already)
-        staged = tempfile.mkdtemp(prefix="fg_stream_src_")
-        shutil.copy(path, staged)
+        # are single files, so stage a copy under a DETERMINISTIC temp dir
+        # keyed by (path, mtime, size) — reused across calls in the same
+        # round instead of leaking one mkdtemp per invocation, and
+        # invalidated automatically when the input file changes
+        st = os.stat(path)
+        sig = hashlib.sha256(
+            f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+        ).hexdigest()[:12]
+        staged = os.path.join(tempfile.gettempdir(), f"fg_stream_src_{sig}")
+        staged_file = os.path.join(staged, os.path.basename(path))
+        if not os.path.isfile(staged_file):
+            os.makedirs(staged, exist_ok=True)
+            shutil.copy(path, staged_file)
         path = staged
     return (
         spark.readStream.schema(EVENTS_DDL)

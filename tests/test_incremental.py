@@ -107,3 +107,39 @@ def test_batch_corpus_membership(spark, entry):
         assert rows
         assert all(r.doc_id % 10 == 0 and r.match_id % 10 != 0 for r in rows)
         assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_cc_incremental_lsh_identical_to_full_lsh_cc(spark, entry):
+    """The fully-scaled composition (corpus-internal LSH edges as the
+    stored-label stand-in + batch-vs-corpus band equijoin + batch-internal
+    LSH edges, merged by the contracted-graph CC) must label IDENTICALLY
+    to the from-scratch LSH clustering (q_dedup_cc_lsh): the three edge
+    legs partition the full LSH edge set exactly, and the incremental
+    merge is provably equal to CC on the union."""
+    full = {
+        (r.doc_id, r.component)
+        for r in entry.q_dedup_cc_lsh(spark, SF01).collect()
+    }
+    inc = {
+        (r.doc_id, r.component)
+        for r in entry.q_dedup_cc_incremental_lsh(spark, SF01).collect()
+    }
+    assert inc == full
+
+
+def test_cc_incremental_lsh_parity_with_exact_incremental(spark, entry):
+    """Mirror of the dedup_cc_lsh-vs-exact pins, for the incremental
+    composition: every node present in both labelings carries the SAME
+    component, and node coverage is >= 99% (shortfall = banding recall
+    at the 0.8 threshold)."""
+    exact = {
+        r.doc_id: r.component
+        for r in entry.q_dedup_cc_incremental(spark, SF01).collect()
+    }
+    lsh = {
+        r.doc_id: r.component
+        for r in entry.q_dedup_cc_incremental_lsh(spark, SF01).collect()
+    }
+    common = set(exact) & set(lsh)
+    assert len(lsh) >= 0.99 * len(exact)
+    assert all(exact[d] == lsh[d] for d in common)

@@ -297,3 +297,31 @@ def test_ann_lsh_config_sized_no_stats_action(spark):
         for r in m.q_ann_lsh_top10(spark, sf).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_connected_components_resume_after_convergence(spark, tmp_path):
+    """A resume over a run that already converged — even one that
+    converged exactly at its round budget — returns the persisted fixed
+    point instead of raising 'did not converge': convergence is recorded
+    as a _CONVERGED_NNNN marker next to the round dirs."""
+    from featuregenerator_spark.operators.dedup_cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    rdir = str(tmp_path / "cc_conv")
+    first = connected_components(edges, "doc_a", "doc_b", resume_dir=rdir)
+    want = {r["node"]: r["comp"] for r in first.collect()}
+    import os
+
+    n_rounds = len([d for d in os.listdir(rdir) if d.startswith("round_")])
+    assert any(f.startswith("_CONVERGED_") for f in os.listdir(rdir))
+    # budget equal to rounds already used: without the marker this would
+    # start at round == max_iter, never iterate, and spuriously raise
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            edges, "doc_a", "doc_b", max_iter=n_rounds, resume_dir=rdir
+        ).collect()
+    }
+    assert got == want

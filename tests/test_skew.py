@@ -217,3 +217,95 @@ def test_pipeline_handles_mega_conversation(spark):
     row = mega.orderBy(F.col("turn_idx").desc()).first()
     assert row["session_idx"] >= 1
     assert row["turns_prior_86400s"] >= row["turns_prior_3600s"]
+
+
+def test_asof_join_auto_routes_and_matches(spark):
+    """asof_join_auto must equal the standard as-of join at a threshold
+    that sends SOME keys down each branch (verified explicitly), and at
+    the extremes (all-cold / all-hot)."""
+    from featuregenerator_spark.plans.skew import _hot_keys, asof_join_auto
+    from featuregenerator_spark.plans.temporal import asof_join, with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import (
+        synth_snapshots,
+        synth_transcripts,
+    )
+
+    tr_raw = synth_transcripts(spark, n_convs=12, max_turns=25, skew_conv_turns=2000)
+    tr = with_ts_seconds(tr_raw).select("conv_id", "turn_idx", "ts_sec")
+    snaps = synth_snapshots(spark, tr_raw).select(
+        "conv_id",
+        F.col("snap_ts").cast("double").alias("snap_ts"),
+        F.col("feature_state")["turns_seen"].alias("turns_seen"),
+    )
+    args = dict(
+        on="conv_id", left_ts="ts_sec", right_ts="snap_ts",
+        value_cols=["turns_seen"], strict=True,
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+        for r in asof_join(tr, snaps, **args).collect()
+    }
+    # mid threshold: mega conv is hot, the 25-turn convs are cold
+    both = tr.select("conv_id").unionByName(snaps.select("conv_id"))
+    n_hot = _hot_keys(both, "conv_id", 100).count()
+    n_keys = tr.select("conv_id").distinct().count()
+    assert 0 < n_hot < n_keys  # both branches really execute
+    for thr in (100, 0, 10**9):  # mid / all-hot / all-cold
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["asof_ts"])
+            for r in asof_join_auto(
+                tr, snaps, hot_rows_threshold=thr,
+                chunk_span_seconds=86400.0, **args,
+            ).collect()
+        }
+        assert got == want, thr
+
+
+def test_backfill_auto_routes_and_matches(spark):
+    from featuregenerator_spark.plans.skew import backfill_auto
+    from featuregenerator_spark.plans.temporal import backfill, with_ts_seconds
+
+    tr = with_ts_seconds(
+        synth_transcripts(spark, n_convs=8, max_turns=15, skew_conv_turns=1500)
+    ).withColumn(
+        "pv", F.when(F.col("role") == "tool", F.length("text").cast("double"))
+    )
+    order = ("ts_sec", "turn_idx")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["pv"]
+        for r in backfill(tr, ["pv"], order_by=order).collect()
+    }
+    for thr in (100, 0, 10**9):
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["pv"]
+            for r in backfill_auto(
+                tr, ["pv"], order_by=order, hot_rows_threshold=thr
+            ).collect()
+        }
+        assert got == want, thr
+
+
+def test_pipeline_snapshot_join_auto_routed(spark):
+    """build_turn_features(snapshots=...) now rides the heavy-hitter
+    router: with a threshold that forces the mega-conversation down the
+    chunked branch, the feature table equals the default (all-cold) run."""
+    from featuregenerator_spark.plans.temporal import with_ts_seconds
+    from featuregenerator_spark.sources.transcripts import (
+        synth_snapshots,
+        synth_transcripts,
+    )
+
+    tr = synth_transcripts(spark, n_convs=6, max_turns=12, skew_conv_turns=900)
+    snaps = synth_snapshots(spark, tr)
+    cols = FEATURE_COLUMNS + ["asof_ts"]
+
+    def rows(thr):
+        f = build_turn_features(
+            with_ts_seconds(tr), snapshots=snaps, snapshot_hot_threshold=thr
+        )
+        return {
+            (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols[2:])
+            for r in f.select(*cols).collect()
+        }
+
+    assert rows(100) == rows(10**9)
