@@ -45,7 +45,13 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 def lang_id(text: Column, default: str = "und") -> Column:
     """Marker-voting language ID: language with the most marker hits;
     deterministic tie-break by the LANG_MARKERS declaration order;
-    ``default`` when no marker hits at all."""
+    ``default`` when no marker hits at all.
+
+    SUPERSEDED for production use by the 10-language character-trigram
+    classifier ``functions.lang_trigram.with_lang_id_trigram`` (accuracy
+    >= 0.95 pinned on a held-out multilingual fixture); this 3-language
+    marker voter is kept as the cheap single-Column form (no join) for
+    pipelines that only need an en/de/fr split."""
     toks = F.split(text, " ")
     hits = {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
