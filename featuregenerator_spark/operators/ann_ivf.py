@@ -74,6 +74,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n: int | None = None,
+    observations=None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (assigned, centroids): ``assigned`` = input + unit-normalized
     ``__nvec`` + ``cluster_id``; ``centroids`` = (cluster_id, centroid)
@@ -91,7 +92,16 @@ def ivf_build(
     deterministic uniform sample picked by a distributed top-K (no
     driver-side data). Each refine iteration recomputes centroids as the
     normalized per-cluster mean (k-means on the unit sphere = spherical
-    k-means) with one map-side-combined aggregation of dim doubles."""
+    k-means) with one map-side-combined aggregation of dim doubles.
+
+    A cluster that receives ZERO vectors in a refine iteration keeps its
+    previous centroid (left join from the prior centroid table), so K is
+    invariant across refine_iters — at production K=4096 a silently
+    shrinking codebook would skew probe pruning with no signal. Pass
+    ``observations`` (a list of pyspark ``Observation``, one per refine
+    iteration; a shorter list audits the first iterations) to audit: each
+    reports ``empty_clusters`` (that iteration's carry-forward count) and
+    materializes with whatever action consumes the build."""
     if n_centroids is None:
         if n is None:
             n = emb.count()
@@ -114,7 +124,7 @@ def ivf_build(
         ).alias("cluster_id"),
         F.col("__nvec").alias("centroid"),
     )
-    for _ in range(max(refine_iters, 0)):
+    for it in range(max(refine_iters, 0)):
         assigned = base.crossJoin(
             F.broadcast(_centroid_row(centroids))
         ).withColumn("cluster_id", _assign_expr(F.col("__nvec")))
@@ -123,8 +133,23 @@ def ivf_build(
                 *[F.avg(F.col("__nvec")[i]) for i in range(dim)]
             ).alias("__mean")
         )
-        centroids = means.select(
-            "cluster_id", _normalize(F.col("__mean")).alias("centroid")
+        # Empty clusters (no rows in `means`) carry their previous
+        # centroid forward — K never shrinks across iterations.
+        merged = centroids.join(means, "cluster_id", "left")
+        if observations is not None and it < len(observations):
+            merged = merged.observe(
+                observations[it],
+                F.sum(
+                    F.when(F.col("__mean").isNull(), 1).otherwise(0)
+                ).alias("empty_clusters"),
+            )
+        centroids = merged.select(
+            "cluster_id",
+            F.when(
+                F.col("__mean").isNotNull(), _normalize(F.col("__mean"))
+            )
+            .otherwise(F.col("centroid"))
+            .alias("centroid"),
         )
     assigned = base.crossJoin(
         F.broadcast(_centroid_row(centroids))

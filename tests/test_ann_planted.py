@@ -80,11 +80,49 @@ def test_ivf_auto_k_sqrt_n(spark, planted_dir):
     # refine_iters=0 keeps exactly the K seeds -> pins the sizing rule
     _, seeds = ivf_build(emb, dim=DIM, n_centroids=None, n=N, refine_iters=0)
     assert seeds.count() == k
-    # with refine, a seed cluster can empty out (means exist only for
-    # non-empty clusters) but ids stay within [0, K) and every vector
-    # still lands in exactly one surviving cluster
+    # refine carries empty clusters' previous centroids forward, so the
+    # codebook keeps EXACTLY K dense ids and every vector lands in one
     assigned, centroids = ivf_build(emb, dim=DIM, n_centroids=None, n=N)
     cids = {r["cluster_id"] for r in centroids.select("cluster_id").collect()}
-    assert cids and cids <= set(range(k))
+    assert cids == set(range(k))
     assert assigned.count() == N
     assert assigned.filter(assigned.cluster_id.isNull()).count() == 0
+
+
+def test_ivf_k_invariant_under_empty_clusters(spark):
+    """Duplicate vectors force empty clusters: seeds drawn from the data
+    are always nearest to themselves, so only identical seed vectors can
+    starve a cluster (the tie-break sends every copy to the lowest
+    cluster id). With 2 distinct vectors duplicated 20x and K=4, at
+    least 2 clusters receive zero vectors in the first refine pass; K
+    must not shrink (previous centroid carried forward) and the
+    per-iteration Observation must report the carry-forward count."""
+    from pyspark.sql import Observation
+
+    from featuregenerator_spark.operators.ann_ivf import ivf_build
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, e1 if i % 2 == 0 else e2) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 4
+    obs = [Observation(f"ivf_empties_{i}") for i in range(3)]
+    assigned, centroids = ivf_build(
+        emb, dim=dim, n_centroids=k, refine_iters=3, observations=obs
+    )
+    crows = centroids.collect()  # materializes build + observations
+    assert len(crows) == k
+    assert {r["cluster_id"] for r in crows} == set(range(k))
+    # no null/NaN centroids from the carry-forward path
+    assert all(
+        all(v == v for v in r["centroid"]) and len(r["centroid"]) == dim
+        for r in crows
+    )
+    empties = [o.get["empty_clusters"] for o in obs]
+    # 4 seeds over 2 distinct vectors -> >= 2 duplicate seeds go empty
+    assert empties[0] >= 2, empties
+    # and assignment still covers every vector with a valid id
+    got = assigned.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in got) == 40
+    assert all(0 <= r["cluster_id"] < k for r in got)
