@@ -79,7 +79,46 @@ _KNOWN_TYPES = {
     "overlap_feature",
     "kgb_match_semantic",
     "preclick_urb_word_feature",
+    # row-level declarative SQL expression (the reference's "expression"
+    # strings, generalized: any deterministic Spark SQL scalar expression,
+    # may reference features declared earlier in the list)
+    "derive",
 }
+
+# DataFrame-level temporal lifts (plans/temporal.py, plans/skew.py): the
+# "declared, not programmed" contract (SURVEY.md §3.1) extended to the
+# pipeline lifts the north rule mandates — a JSON config can declare the
+# whole flagship turn-feature program (pinned in tests/test_spec_full.py).
+# These compile through compile_pipeline (ordered DataFrame transforms),
+# not compile_config (a single select of row-level Columns).
+_TEMPORAL_TYPES = {
+    "ts_seconds",
+    "gap_feature",
+    "rolling_count",
+    "rolling_agg",
+    "gap_since_match",
+    "sessionize",
+    "lag_lead",
+    "backfill",
+    "asof_join",
+}
+
+# required params per temporal type (validated at parse time — the same
+# config-time-over-runtime-error stance as the kernel validations below)
+_TEMPORAL_REQUIRED = {
+    "rolling_count": ("window_seconds",),
+    "rolling_agg": ("window_seconds", "expression", "agg"),
+    "gap_since_match": ("filter", "timediff"),
+    "sessionize": ("gap_seconds",),
+    "lag_lead": ("columns",),
+    "backfill": ("columns",),
+    "asof_join": ("right_table", "on", "left_ts", "right_ts", "value_cols"),
+}
+
+_ROLLING_AGGS = ("sum", "min", "max", "avg", "mean")
+
+# document-level "defaults" keys that merge under temporal entries
+_TEMPORAL_DEFAULT_KEYS = ("partition_by", "order_by", "ts_seconds_column")
 
 
 def _opt(params: dict, *names, default=None):
@@ -95,15 +134,43 @@ def _opt(params: dict, *names, default=None):
 def parse_config(config: str | dict) -> list[FeatureSpec]:
     """Parse a FeatureConfig JSON document into typed specs (validated)."""
     doc = json.loads(config) if isinstance(config, str) else config
+    defaults = doc.get("defaults", {})
     specs: list[FeatureSpec] = []
     for entry in doc.get("features", []):
         ftype = entry.get("feature_type")
-        if ftype not in _KNOWN_TYPES:
+        if ftype not in _KNOWN_TYPES and ftype not in _TEMPORAL_TYPES:
             raise ValueError(f"unknown feature_type: {ftype!r}")
         name = entry.get("feature_name")
         if not name:
             raise ValueError("feature_name is required")
         params = {k: v for k, v in entry.items() if k not in ("feature_type", "feature_name")}
+        if ftype in _TEMPORAL_TYPES:
+            for k in _TEMPORAL_DEFAULT_KEYS:
+                if k not in params and k in defaults:
+                    params[k] = defaults[k]
+            for req in _TEMPORAL_REQUIRED.get(ftype, ()):
+                if req not in params:
+                    raise ValueError(f"{name}: {ftype} requires {req!r}")
+            if ftype == "rolling_agg" and params["agg"] not in _ROLLING_AGGS:
+                raise ValueError(
+                    f"{name}: agg must be one of {_ROLLING_AGGS}, "
+                    f"got {params['agg']!r}"
+                )
+            if ftype == "gap_since_match" and params.get(
+                "gap", "gap_min"
+            ) not in ("gap_min", "gap_max"):
+                raise ValueError(f"{name}: gap must be gap_min or gap_max")
+            for wkey in ("window_seconds", "timediff", "gap_seconds"):
+                if wkey in params and ftype in _TEMPORAL_REQUIRED and wkey in _TEMPORAL_REQUIRED[ftype]:
+                    if not float(params[wkey]) > 0:
+                        raise ValueError(f"{name}: {wkey} must be positive")
+            specs.append(FeatureSpec(ftype, name, params))
+            continue
+        if ftype == "derive":
+            if not params.get("expression"):
+                raise ValueError(f"{name}: derive requires 'expression'")
+            specs.append(FeatureSpec(ftype, name, params))
+            continue
         bounds = params.get("bucketize_boundaries")
         if bounds and list(bounds) != sorted(bounds):
             raise ValueError(f"{name}: bucketize_boundaries must be sorted")
@@ -179,15 +246,24 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
             raise ValueError(f"{spec.feature_name}: unknown input column {name!r}")
         return F.col(name)
 
+    if spec.feature_type == "derive":
+        # declarative SQL scalar expression; analysis (unknown columns,
+        # type errors) is Catalyst's job at resolution time
+        return F.expr(p["expression"]).alias(spec.feature_name)
+
     if spec.feature_type == "id_feature":
         expr = p["expression"]
         dtype = schema[expr]
         from pyspark.sql import types as T
 
+        # the key prefix defaults to the feature name (reference layout);
+        # "prefix" overrides it for outputs named differently than their
+        # key namespace (e.g. feature_name=role_id, prefix=role)
+        prefix = p.get("prefix", spec.feature_name)
         if isinstance(dtype, T.ArrayType):
             out = id_mod.id_feature_multi(
                 col(expr),
-                spec.feature_name,
+                prefix,
                 dtype.elementType,
                 p.get("need_prefix", True),
                 p.get("prune_to", 5000),
@@ -196,7 +272,7 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
         else:
             out = id_mod.id_feature_scalar(
                 col(expr),
-                spec.feature_name,
+                prefix,
                 dtype,
                 p.get("need_prefix", True),
                 p.get("invalid_values"),
@@ -489,8 +565,164 @@ def compile_spec(spec: FeatureSpec, df: DataFrame) -> Column:
 
 
 def compile_config(config: str | dict, df: DataFrame) -> DataFrame:
-    """Whole config -> one select() over df (plus passthrough keys)."""
+    """Whole config -> one select() over df (plus passthrough keys).
+
+    Row-level kernels only; configs that declare temporal lifts compile
+    through :func:`compile_pipeline`."""
     specs = parse_config(config)
+    temporal_specs = [s for s in specs if s.feature_type in _TEMPORAL_TYPES]
+    if temporal_specs:
+        raise ValueError(
+            "config declares temporal features "
+            f"({[s.feature_name for s in temporal_specs]}); use "
+            "compile_pipeline, which applies DataFrame-level lifts in "
+            "declaration order"
+        )
     cols = [F.col(c) for c in df.columns]
     cols.extend(compile_spec(s, df) for s in specs)
     return df.select(*cols)
+
+
+def _apply_temporal(
+    spec: FeatureSpec, df: DataFrame, tables: dict[str, DataFrame] | None
+) -> DataFrame:
+    """One temporal spec -> the corresponding plans/temporal (or skew-
+    routed) DataFrame transform. Filters/expressions are declarative SQL
+    strings (F.expr), the same surface as the reference's expression
+    slots."""
+    from featuregenerator_spark.plans import temporal
+
+    p = spec.params
+    name = spec.feature_name
+    conv = p.get("partition_by", temporal.CONV)
+    ts_sec = p.get("ts_seconds_column", temporal.TS_SEC)
+    order_by = tuple(p.get("order_by", (temporal.TURN, temporal.TS_SEC)))
+    t = spec.feature_type
+
+    if t == "ts_seconds":
+        return temporal.with_ts_seconds(df, p.get("ts_column", temporal.TS), name)
+    if t == "gap_feature":
+        bucketize = p.get("bucketize", True)
+        out = temporal.with_gap(
+            df, conv=conv, ts_sec=ts_sec, order_by=order_by, bucketize=bucketize
+        )
+        if name != "gap_seconds":
+            out = out.withColumnRenamed("gap_seconds", name)
+        bname = p.get("bucket_name", "gap_bucket")
+        if bucketize and bname != "gap_bucket":
+            out = out.withColumnRenamed("gap_bucket", bname)
+        if bucketize and p.get("bucket_default") is not None:
+            out = out.withColumn(
+                bname, F.coalesce(F.col(bname), F.lit(p["bucket_default"]))
+            )
+        if p.get("horizon_seconds") is not None:
+            # horizon-limited gap: null when the previous row is further
+            # back than the horizon (plans/pipeline.py's day-chunk contract)
+            out = out.withColumn(
+                name,
+                F.when(
+                    F.col(name) <= float(p["horizon_seconds"]), F.col(name)
+                ),
+            )
+        return out
+    if t == "rolling_count":
+        pred = F.expr(p["filter"]) if p.get("filter") else None
+        return temporal.with_rolling_count(
+            df,
+            float(p["window_seconds"]),
+            name,
+            conv=conv,
+            ts_sec=ts_sec,
+            predicate=pred,
+            include_current=p.get("include_current", False),
+            count_cut_threshold=_opt(
+                p, "count_cut_threshold", "countCutThreshold", default=-1
+            ),
+        )
+    if t == "rolling_agg":
+        return temporal.with_rolling_agg(
+            df,
+            float(p["window_seconds"]),
+            F.expr(p["expression"]),
+            p["agg"],
+            name,
+            conv=conv,
+            ts_sec=ts_sec,
+            include_current=p.get("include_current", True),
+        )
+    if t == "gap_since_match":
+        return temporal.with_gap_since_match(
+            df,
+            F.expr(p["filter"]),
+            float(p["timediff"]),
+            name,
+            gap=p.get("gap", "gap_min"),
+            default_value=float(p.get("default_value", 0.0)),
+            conv=conv,
+            ts_sec=ts_sec,
+        )
+    if t == "sessionize":
+        return temporal.sessionize(
+            df,
+            float(p["gap_seconds"]),
+            conv=conv,
+            ts_sec=ts_sec,
+            order_by=order_by,
+            out=name,
+        )
+    if t == "lag_lead":
+        return temporal.with_lag_lead(
+            df,
+            p["columns"],
+            conv=conv,
+            order_by=order_by,
+            offsets=tuple(p.get("offsets", (1,))),
+        )
+    if t == "backfill":
+        return temporal.backfill(df, p["columns"], conv=conv, order_by=order_by)
+    if t == "asof_join":
+        from featuregenerator_spark.plans.skew import asof_join_auto
+
+        rt = p["right_table"]
+        if not tables or rt not in tables:
+            raise ValueError(
+                f"{name}: asof_join right_table {rt!r} not provided — pass "
+                "compile_pipeline(..., tables={name: DataFrame})"
+            )
+        return asof_join_auto(
+            df,
+            tables[rt],
+            on=p["on"],
+            left_ts=p["left_ts"],
+            right_ts=p["right_ts"],
+            value_cols=list(p["value_cols"]),
+            strict=p.get("strict", False),
+            tolerance=p.get("tolerance"),
+            hot_rows_threshold=_opt(
+                p, "hot_rows_threshold", "hotRowsThreshold", default=1_000_000
+            ),
+        )
+    raise NotImplementedError(f"_apply_temporal: unhandled {t!r}")
+
+
+def compile_pipeline(
+    config: str | dict,
+    df: DataFrame,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Whole config (row-level kernels + temporal lifts) -> one DataFrame
+    program, entries applied in declaration order.
+
+    Row-level entries append named columns (so later entries — including
+    derive expressions and temporal filters — can reference earlier
+    features); temporal entries apply the plans/temporal lifts. Adjacent
+    projections collapse in Catalyst, so a config with no temporal entry
+    plans identically to :func:`compile_config`'s single select. ``tables``
+    resolves asof_join right_table names to DataFrames."""
+    specs = parse_config(config)
+    for s in specs:
+        if s.feature_type in _TEMPORAL_TYPES:
+            df = _apply_temporal(s, df, tables)
+        else:
+            df = df.withColumn(s.feature_name, compile_spec(s, df))
+    return df

@@ -72,3 +72,111 @@ def test_spec_validation():
             {"features": [{"feature_type": "raw_feature", "feature_name": "x",
                            "bucketize_boundaries": [3, 1, 2]}]}
         )
+
+
+# JSON declaration of the ENTIRE flagship turn-feature program — the
+# "declared, not programmed" contract (SURVEY.md §3.1) extended to the
+# temporal lifts. Must reproduce build_turn_features byte-for-byte.
+FLAGSHIP_JSON = {
+    "defaults": {
+        "partition_by": "conv_id",
+        "order_by": ["ts_sec", "turn_idx"],
+        "ts_seconds_column": "ts_sec",
+    },
+    "features": [
+        {"feature_type": "ts_seconds", "feature_name": "ts_sec",
+         "ts_column": "ts"},
+        {"feature_type": "id_feature", "feature_name": "role_id",
+         "expression": "role", "prefix": "role"},
+        {"feature_type": "id_feature", "feature_name": "tool_id0",
+         "expression": "tool", "prefix": "tool"},
+        {"feature_type": "derive", "feature_name": "tool_id",
+         "expression": "coalesce(tool_id0, 'tool_none')"},
+        {"feature_type": "derive", "feature_name": "text_len",
+         "expression": "cast(length(text) as double)"},
+        {"feature_type": "derive", "feature_name": "text_len_log",
+         "expression": "if(text_len > 0d, log10(text_len), 0d)"},
+        {"feature_type": "gap_feature", "feature_name": "gap_seconds",
+         "bucket_default": 8},
+        {"feature_type": "rolling_count", "feature_name": "turns_prior_3600s",
+         "window_seconds": 3600},
+        {"feature_type": "rolling_count",
+         "feature_name": "tool_calls_prior_3600s",
+         "window_seconds": 3600, "filter": "role = 'tool'"},
+        {"feature_type": "rolling_count", "feature_name": "turns_prior_86400s",
+         "window_seconds": 86400},
+        {"feature_type": "rolling_count",
+         "feature_name": "tool_calls_prior_86400s",
+         "window_seconds": 86400, "filter": "role = 'tool'"},
+        {"feature_type": "rolling_agg", "feature_name": "avg_text_len_w0",
+         "window_seconds": 3600, "expression": "text_len", "agg": "avg"},
+        {"feature_type": "gap_since_match", "feature_name": "since_tool_bucket",
+         "filter": "role = 'tool'", "timediff": 86400, "gap": "gap_min",
+         "default_value": 0.0},
+        {"feature_type": "sessionize", "feature_name": "session_id",
+         "gap_seconds": 1800},
+        {"feature_type": "asof_join", "feature_name": "feature_state",
+         "right_table": "snapshots", "on": "conv_id", "left_ts": "ts_sec",
+         "right_ts": "snap_ts", "value_cols": ["feature_state"],
+         "strict": True},
+    ],
+}
+
+
+def test_flagship_declared_in_pure_json(spark, transcripts):
+    from featuregenerator_spark.spec import compile_pipeline
+
+    snaps = synth_snapshots(spark, transcripts)
+    # feature_state is a map (set ops reject maps) -> compare its JSON form
+    cols = [*FEATURE_COLUMNS, F.to_json("feature_state").alias("fs_json")]
+    declared = compile_pipeline(
+        FLAGSHIP_JSON, transcripts, tables={"snapshots": snaps}
+    ).select(*cols)
+    built = build_turn_features(
+        temporal.with_ts_seconds(transcripts), snapshots=snaps
+    ).select(*cols)
+    assert declared.exceptAll(built).count() == 0
+    assert built.exceptAll(declared).count() == 0
+
+
+def test_compile_config_rejects_temporal_entries():
+    import pytest
+
+    from featuregenerator_spark.spec import compile_config
+
+    with pytest.raises(ValueError, match="compile_pipeline"):
+        compile_config(
+            {"features": [{"feature_type": "sessionize",
+                           "feature_name": "s", "gap_seconds": 60}]},
+            None,
+        )
+
+
+def test_temporal_spec_validation():
+    import pytest
+
+    from featuregenerator_spark.spec import parse_config
+
+    # missing required param
+    with pytest.raises(ValueError, match="window_seconds"):
+        parse_config({"features": [
+            {"feature_type": "rolling_count", "feature_name": "x"}]})
+    # bad agg
+    with pytest.raises(ValueError, match="agg"):
+        parse_config({"features": [
+            {"feature_type": "rolling_agg", "feature_name": "x",
+             "window_seconds": 60, "expression": "v", "agg": "median"}]})
+    # bad gap kind
+    with pytest.raises(ValueError, match="gap_min or gap_max"):
+        parse_config({"features": [
+            {"feature_type": "gap_since_match", "feature_name": "x",
+             "filter": "a = 1", "timediff": 60, "gap": "nearest"}]})
+    # non-positive window
+    with pytest.raises(ValueError, match="positive"):
+        parse_config({"features": [
+            {"feature_type": "sessionize", "feature_name": "x",
+             "gap_seconds": 0}]})
+    # derive needs an expression
+    with pytest.raises(ValueError, match="expression"):
+        parse_config({"features": [
+            {"feature_type": "derive", "feature_name": "x"}]})
