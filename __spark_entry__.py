@@ -1801,6 +1801,32 @@ def q_multimodal_video(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL compressed-codec path end-to-end: deterministic grayscale
+    baseline JPEGs (pure-numpy encoder — DCT, Annex-K quantization,
+    Huffman entropy coding, byte stuffing) decoded back by the pure-numpy
+    marker-level decoder inside mapInPandas. The synth is four constant
+    8x8 blocks with even offsets, so DC quantization at quality 50 is
+    exact and every stat has a closed form the oracle states exactly;
+    AC-active content is pinned bit-exact against the transform-domain
+    reference in tests/test_jpeg.py."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_jpeg_assets,
+        synth_jpeg_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = decode_jpeg_assets(synth_jpeg_assets(docs))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_y", 6).alias("mean_y"),
+        "y_first",
+        "y_last",
+    )
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
     (stdlib wave writer) decoded back by the stdlib wave reader inside
@@ -2260,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         "lang_id_trigram": q_lang_id_trigram,
         "config_compiled_temporal": q_config_compiled_temporal,
+        "multimodal_jpeg_decode": q_multimodal_jpeg,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -2268,7 +2295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_bucketize": q_raw_bucketize,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
-        "lookup_kv_feature": q_lookup_kv_feature,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2277,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "lookup_kv_feature": q_lookup_kv_feature,
         "lookup_gap_kernel": q_lookup_gap_kernel,
         "kgb_hit_flag": q_kgb_hit_flag,
         "neardup_token_jaccard": q_neardup_token_jaccard,
@@ -2776,6 +2803,20 @@ def oracle_sql() -> dict[str, str]:
                    round(doc_id % 200
                          + floor((4 + doc_id % 4 + 1) / 2.0) - 1, 6)
                      AS sampled_mean_y
+            FROM documents""",
+        "multimodal_jpeg_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   round((  (128 + 2*((doc_id + 0) % 60 - 30))
+                          + (128 + 2*((doc_id + 1) % 60 - 30))
+                          + (128 + 2*((doc_id + 2) % 60 - 30))
+                          + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
+                         6) AS mean_y,
+                   CAST(128 + 2*((doc_id + 0) % 60 - 30) AS INTEGER)
+                     AS y_first,
+                   CAST(128 + 2*((doc_id + 3) % 60 - 30) AS INTEGER)
+                     AS y_last
             FROM documents""",
         "multimodal_wav_decode": """
             SELECT doc_id AS asset_id,

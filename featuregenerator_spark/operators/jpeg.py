@@ -1,0 +1,494 @@
+"""Pure-numpy baseline-sequential JPEG codec (grayscale, ITU-T T.81).
+
+Closes the compressed-codec slot of the multimodal story without PIL or
+ffmpeg: a byte-exact JFIF writer (``jpeg_encode_gray``) and a marker-level
+reader (``jpeg_decode_gray``) for baseline DCT, Huffman-coded, 8-bit,
+single-component streams — SOI / APP0 / DQT (8- and 16-bit precision) /
+SOF0 / DHT / DRI / SOS / RSTn / EOI. Quant and Huffman tables are the
+public Annex K defaults (spec constants, not reference code); any tables
+embedded in the stream are honored, so standard-table grayscale JPEGs
+produced elsewhere decode too.
+
+The entropy layer (Huffman + byte stuffing + restart markers) is lossless,
+so ``jpeg_decode_gray(jpeg_encode_gray(img, q))`` must equal the
+transform-domain pipeline ``jpeg_reference_gray(img, q)`` (DCT → quantize
+→ dequantize → IDCT with no byte layer) bit-for-bit — the roundtrip pin
+used by tests/test_jpeg.py. Restart intervals exist for the 100-TB
+reason: RSTn boundaries byte-align and reset the DC predictor, which is
+what makes huge scans splittable for parallel decode.
+
+Color (3-component YCbCr) swaps in PIL on a real cluster with the same
+mapInPandas batch shape (see operators/multimodal.py); decode raises a
+clear error on multi-component streams rather than guessing.
+
+Reference parity note: the reference repo has no image codecs — this
+module belongs to the beyond-reference LLM-data-pipeline surface
+(multimodal columns), like operators/multimodal.py's BMP/WAV/Y4M paths.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K Table K.1: luminance quantization (natural/raster order) ---
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# --- Annex K Tables K.3/K.5: standard luminance Huffman tables ---
+# BITS[i] = number of codes of length i+1; HUFFVAL in code order.
+DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_HUFFVAL = tuple(range(12))
+AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_HUFFVAL = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+assert sum(DC_BITS) == len(DC_HUFFVAL)
+assert sum(AC_BITS) == len(AC_HUFFVAL) == 162
+
+
+def _zigzag_order():
+    """64 (row, col) pairs in JPEG zigzag scan order."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        order.extend(diag[::-1] if s % 2 == 0 else diag)
+    return order
+
+
+_ZZ = _zigzag_order()
+# flat natural-order index for each zigzag position (and its inverse)
+ZIGZAG = np.array([r * 8 + c for r, c in _ZZ], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# orthonormal 8-point DCT-II matrix: forward F = M @ f @ M.T,
+# inverse f = M.T @ F @ M; matches T.81's 1/4*C(u)C(v) scaling.
+_x = np.arange(8)
+_M = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
+_M[0, :] = 1.0 / np.sqrt(8.0)
+
+
+def quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a quant table (1..100)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _pad_to_blocks(img: np.ndarray) -> np.ndarray:
+    """Edge-replicate pad to multiples of 8 (T.81 leaves fill free; edge
+    replication minimizes ringing into the kept region)."""
+    h, w = img.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    return img
+
+
+def _to_blocks(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    return (
+        img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h8, w8)
+    )
+
+
+def _quantized_blocks(img: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 -> (n_blocks, 64) int quantized coefficients in
+    zigzag order. One einsum DCTs every block at once."""
+    padded = _pad_to_blocks(np.asarray(img, dtype=np.uint8))
+    blocks = _to_blocks(padded.astype(np.float64) - 128.0)
+    coefs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
+    quant = np.rint(coefs / qtab[None, :, :]).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _reconstruct(quant_zz: np.ndarray, qtab_zz: np.ndarray, h: int, w: int):
+    """Inverse of :func:`_quantized_blocks`: dequantize, IDCT, crop."""
+    deq = (quant_zz * qtab_zz[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+    blocks = np.einsum("ux,nuv,vy->nxy", _M, deq.astype(np.float64), _M)
+    h8, w8 = h + (-h) % 8, w + (-w) % 8
+    img = _from_blocks(blocks, h8, w8) + 128.0
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_reference_gray(img: np.ndarray, quality: int = 50) -> np.ndarray:
+    """Transform-domain pipeline with NO entropy/byte layer — the exact
+    value the full codec must reproduce (the entropy layer is lossless)."""
+    qtab = quality_scale(QUANT_LUMA, quality)
+    quant = _quantized_blocks(img, qtab)
+    h, w = np.asarray(img).shape
+    return _reconstruct(quant, qtab.reshape(-1)[ZIGZAG], h, w)
+
+
+# --------------------------------------------------------------------------
+# Huffman tables
+# --------------------------------------------------------------------------
+
+
+def _build_codes(bits, huffval) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 C.2): symbol -> (code, length)."""
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits, huffval):
+    """T.81 F.2.2.3 decode tables: (mincode, maxcode, valptr, huffval)."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(huffval)
+
+
+def _magnitude_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit sink with T.81 byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def jpeg_encode_gray(
+    img: np.ndarray, quality: int = 50, restart_interval: int = 0
+) -> bytes:
+    """(H, W) uint8 -> baseline JFIF bytes (1 component, no subsampling).
+
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs —
+    the byte-aligned split points that make giant scans parallel-
+    decodable."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("jpeg_encode_gray takes a single-channel (H, W) image")
+    h, w = img.shape
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError(f"image dims out of range: {h}x{w}")
+    qtab = quality_scale(QUANT_LUMA, quality)
+    quant = _quantized_blocks(img, qtab)
+
+    dc_codes = _build_codes(DC_BITS, DC_HUFFVAL)
+    ac_codes = _build_codes(AC_BITS, AC_HUFFVAL)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    # DQT: Pq=0 (8-bit), Tq=0, values in zigzag order
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
+    out += bytes(int(v) for v in qtab.reshape(-1)[ZIGZAG])
+    # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
+    # DHT: DC table 0 then AC table 0
+    for tc, bits, vals in ((0, DC_BITS, DC_HUFFVAL), (1, AC_BITS, AC_HUFFVAL)):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (tc << 4))
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS: 1 component, DC table 0 / AC table 0, Ss=0 Se=63 Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+
+    bw = _BitWriter()
+    pred = 0
+    rst = 0
+    for n, block in enumerate(quant):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _BitWriter()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            pred = 0
+        diff = int(block[0]) - pred
+        pred = int(block[0])
+        ssss = _magnitude_category(diff)
+        code, length = dc_codes[ssss]
+        bw.write(code, length)
+        if ssss:
+            bw.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+        run = 0
+        last_nz = np.nonzero(block[1:])[0]
+        end = int(last_nz[-1]) + 2 if len(last_nz) else 1
+        for v in block[1:end]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            ssss = _magnitude_category(v)
+            code, length = ac_codes[(run << 4) | ssss]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << ssss) - 1, ssss)
+            run = 0
+        if end < 64:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def _decode_symbol(bits, pos, tbl):
+    mincode, maxcode, valptr, vals = tbl
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        if maxcode[length] >= 0 and mincode[length] <= code <= maxcode[length]:
+            return vals[valptr[length] + code - mincode[length]], pos
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _receive_extend(bits, pos, ssss):
+    if ssss == 0:
+        return 0, pos
+    v = 0
+    for _ in range(ssss):
+        v = (v << 1) | int(bits[pos])
+        pos += 1
+    if v < (1 << (ssss - 1)):  # T.81 F.2.2.1 EXTEND
+        v -= (1 << ssss) - 1
+    return v, pos
+
+
+def _split_scan(buf: bytes, pos: int):
+    """Entropy-coded bytes from ``pos`` -> list of unstuffed restart
+    intervals (split at RSTn, 0xFF00 -> 0xFF), plus the end offset."""
+    intervals, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = buf[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    intervals.append(bytes(cur))
+    return intervals, pos
+
+
+def jpeg_decode_gray(buf: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W) uint8. Honors DQT (8/16-bit), DHT,
+    DRI/RSTn from the stream; raises clearly on progressive or multi-
+    component input (color is PIL's job on a cluster)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tbls: dict[int, tuple] = {}
+    ac_tbls: dict[int, tuple] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
+    pos = 2
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack_from(">H", buf, pos)[0]
+        seg_end = pos + seglen
+        body = pos + 2
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < seg_end:
+                pq, tq = buf[p] >> 4, buf[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(buf, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    vals = np.frombuffer(buf, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                qtabs[tq] = vals  # zigzag order
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p < seg_end:
+                tc, th = buf[p] >> 4, buf[p] & 0x0F
+                p += 1
+                bits = tuple(buf[p : p + 16])
+                p += 16
+                nvals = sum(bits)
+                vals = tuple(buf[p : p + nvals])
+                p += nvals
+                (ac_tbls if tc else dc_tbls)[th] = _build_decoder(bits, vals)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", buf, body)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale only; "
+                    "color decodes via PIL on a real cluster)"
+                )
+            # component spec starts at body+6: id(1) HV(1) Tq(1)
+            comp_q = buf[body + 8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline SOF marker 0xFF{marker:02X} unsupported "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", buf, body)[0]
+        elif marker == 0xDA:  # SOS
+            ns = buf[body]
+            if ns != 1:
+                raise ValueError("single-component scan expected")
+            comp_dc = buf[body + 2] >> 4
+            comp_ac = buf[body + 2] & 0x0F
+            pos = seg_end
+            intervals, pos = _split_scan(buf, pos)
+            if h is None:
+                raise ValueError("SOS before SOF0")
+            return _decode_scan(
+                intervals, h, w, qtabs[comp_q], dc_tbls[comp_dc],
+                ac_tbls[comp_ac], restart_interval,
+            )
+        pos = seg_end
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(intervals, h, w, qtab_zz, dc_tbl, ac_tbl, restart_interval):
+    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+    quant = np.zeros((n_blocks, 64), dtype=np.int64)
+    block_idx = 0
+    for interval in intervals:
+        if block_idx >= n_blocks:
+            break
+        bits = np.unpackbits(np.frombuffer(interval, dtype=np.uint8))
+        pos = 0
+        pred = 0
+        limit = (
+            min(block_idx + restart_interval, n_blocks)
+            if restart_interval
+            else n_blocks
+        )
+        while block_idx < limit:
+            ssss, pos = _decode_symbol(bits, pos, dc_tbl)
+            diff, pos = _receive_extend(bits, pos, ssss)
+            pred += diff
+            quant[block_idx, 0] = pred
+            k = 1
+            while k < 64:
+                rs, pos = _decode_symbol(bits, pos, ac_tbl)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                val, pos = _receive_extend(bits, pos, size)
+                quant[block_idx, k] = val
+                k += 1
+            block_idx += 1
+            # padded tail of the final byte is all 1-bits; a full block
+            # never fits in <8 bits, so stop cleanly at interval end
+            if pos >= len(bits) - 7 and block_idx < limit:
+                break
+    if block_idx != n_blocks:
+        raise ValueError(
+            f"scan ended after {block_idx}/{n_blocks} blocks"
+        )
+    return _reconstruct(quant, qtab_zz, h, w)

@@ -472,6 +472,90 @@ def sample_video_frames(
     return assets.mapInPandas(sample, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec path: baseline-sequential JPEG via the
+# pure-numpy codec in operators/jpeg.py (Annex K tables, Huffman entropy
+# coding, byte stuffing, restart markers). Unlike BMP/WAV/Y4M above this
+# exercises an actual entropy-coded format — the compressed-codec slot —
+# with no PIL/ffmpeg. Color swaps in PIL with the identical batch shape.
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg_assets(
+    ids: DataFrame, id_col: str = "asset_id", quality: int = 50
+) -> DataFrame:
+    """Deterministic grayscale JPEG payloads, one per id: a 16x16 image of
+    four 8x8 blocks in raster order, block b constant at
+    128 + 2*((id + b) % 60 - 30). Even offsets make the DC quantization
+    at quality 50 (q00 = 16) exact, so the decoded image equals the
+    source bit-for-bit and every emitted stat has a closed form the SQL
+    oracle states exactly. AC-active content is covered by the
+    transform-domain roundtrip pins in tests/test_jpeg.py."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.jpeg import jpeg_encode_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                img = np.empty((16, 16), dtype=np.uint8)
+                for b in range(4):
+                    r, c = (b // 2) * 8, (b % 2) * 8
+                    img[r : r + 8, c : c + 8] = 128 + 2 * ((i + b) % 60 - 30)
+                payloads.append(jpeg_encode_gray(img, quality))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="asset_id long, kind string, payload binary")
+
+
+JPEG_FEATURE_DDL = (
+    "asset_id long, width int, height int, mean_y double, "
+    "y_first int, y_last int"
+)
+
+
+def decode_jpeg_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL compressed-image decode path: full baseline JPEG decode
+    (marker parse -> Huffman entropy decode -> dequantize -> IDCT) per
+    payload inside mapInPandas; emits dimensions, mean luma and the
+    first/last pixel values."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.jpeg import jpeg_decode_gray
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for aid, payload in zip(chunk["asset_id"], chunk["payload"]):
+                    img = jpeg_decode_gray(bytes(payload))
+                    rows.append(
+                        (
+                            int(aid), int(img.shape[1]), int(img.shape[0]),
+                            float(np.mean(img, dtype=np.float64)),
+                            int(img[0, 0]), int(img[-1, -1]),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id", "width", "height", "mean_y",
+                        "y_first", "y_last",
+                    ],
+                )
+
+    return assets.mapInPandas(decode, schema=JPEG_FEATURE_DDL)
+
+
 def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake binary assets for plumbing tests."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
