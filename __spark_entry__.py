@@ -1398,6 +1398,39 @@ def q_streaming_snapshot_parity(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize_parity(spark, sf_dir):
+    """Streaming sessionization as a DRIVER-CHECKED query: the events
+    table rides through readStream -> F.session_window (the engine's
+    native gap-session operator) -> memory sink in COMPLETE mode (a
+    bounded source never advances the watermark past its own tail, so
+    append mode would hold back every session ending within the gap of
+    max event time). Sessions are then labeled 1..n per user by start
+    time — and the DuckDB oracle is the batch sessionize_30m SQL composed
+    verbatim as a CTE, so the gate itself proves the streaming session
+    operator equals the batch window formulation, per session CONTENTS
+    (count + min/max event id), not just counts."""
+    from featuregenerator_spark.streaming.stream_features import (
+        event_session_aggregates,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = event_session_aggregates(stream, gap="30 minutes")
+    name = "ev_sess_parity"
+    spark.catalog.dropTempView(name)
+    run_stream_to_memory(out, name, output_mode="complete")
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return t.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_idx"),
+        "n_events",
+        "min_event_id",
+        "max_event_id",
+    )
+
+
 def q_session_stats(spark, sf_dir):
     """Conversation/session-level feature vectors: per-session event count,
     duration, mean value (north_star conversation-level features)."""
@@ -2287,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": q_lang_id_trigram,
         "config_compiled_temporal": q_config_compiled_temporal,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
+        "streaming_sessionize_parity": q_streaming_sessionize_parity,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -2294,7 +2328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_feature": q_combo_feature,
         "raw_bucketize": q_raw_bucketize,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
-        "match_hit_profile": q_match_hit_profile,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2303,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "match_hit_profile": q_match_hit_profile,
         "lookup_kv_feature": q_lookup_kv_feature,
         "lookup_gap_kernel": q_lookup_gap_kernel,
         "kgb_hit_flag": q_kgb_hit_flag,
@@ -3039,6 +3073,17 @@ def oracle_sql() -> dict[str, str]:
     # config_compiled_temporal: the FOUR standard window oracles composed
     # verbatim as CTEs — the gate itself proves the JSON-declared pipeline
     # (spec.compile_pipeline) equals the hand-built queries.
+    # streaming_sessionize_parity: the batch sessionize_30m oracle composed
+    # verbatim as a CTE, re-aggregated per session — the gate itself proves
+    # the streaming session_window operator equals the batch formulation.
+    sql["streaming_sessionize_parity"] = f"""
+        WITH ss AS ({sql["sessionize_30m"]})
+        SELECT e.user_id, ss.session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(e.event_id) AS min_event_id,
+               max(e.event_id) AS max_event_id
+        FROM events e JOIN ss ON e.event_id = ss.event_id
+        GROUP BY e.user_id, ss.session_idx"""
     sql["config_compiled_temporal"] = f"""
         WITH gp AS ({sql["gap_seconds"]}),
              rc AS ({sql["rolling_count_1h"]}),

@@ -233,10 +233,45 @@ def running_event_snapshot(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str):
+def event_session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native gap sessionization over the events table: one row per
+    session per user via ``F.session_window`` — the streaming engine's
+    own session operator, not a batch stand-in.
+
+    Sessions chain exactly like the batch rule (plans/temporal.sessionize:
+    new session when gap > threshold; a gap of exactly the threshold
+    merges in both). Emitted aggregates (count, min/max event id) are
+    SQL-expressible so the DuckDB oracle can check the session *contents*,
+    not just counts.
+
+    No watermark here: the parity harness drives a bounded source in
+    COMPLETE output mode, which flushes every session (append mode would
+    hold back any session ending within ``gap`` of the max event time
+    until a later watermark advance — state that never comes on a bounded
+    input). Production unbounded streams use append mode + withWatermark
+    upstream of this groupBy.
+    """
+    return (
+        stream.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "min_event_id",
+            "max_event_id",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded source to completion synchronously (tests/smoke)."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

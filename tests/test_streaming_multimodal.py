@@ -301,3 +301,50 @@ def test_resize_images_nearest_neighbor(spark):
     # and the decoded features of resized assets report the new size
     feats = decode_bmp_assets(resize_images(assets, 8, 6)).collect()
     assert all(r["width"] == 8 and r["height"] == 6 for r in feats)
+
+
+def test_streaming_session_gap_boundary_semantics(spark, tmp_path):
+    """The load-bearing boundary: an event exactly `gap` after the
+    previous one MERGES into the session in BOTH engines — Spark's
+    session_window merges when new_start <= current_end, and the batch
+    rule starts a new session only when gap > threshold. Events 1ms past
+    the gap split. Pinned with crafted timestamps either side of 1800s."""
+    import datetime as dt
+
+    from featuregenerator_spark.streaming import stream_features as sf
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gaps of exactly 1800s -> ONE session of 3
+        (1, base, 10, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=1800), 10, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=3600), 10, "click", 1.0, "{}"),
+        # user 2: gap of 1800.001s -> TWO sessions
+        (4, base, 20, "click", 1.0, "{}"),
+        (5, base + dt.timedelta(seconds=1800, milliseconds=1), 20, "click",
+         1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, sf.EVENTS_DDL)
+    path = str(tmp_path / "evb")
+    df.write.mode("overwrite").parquet(path)
+    out = sf.event_session_aggregates(
+        sf.read_event_stream(spark, path), gap="30 minutes"
+    )
+    sf.run_stream_to_memory(out, "sess_boundary", output_mode="complete")
+    got = {
+        (r.user_id, r.min_event_id): (r.n_events, r.max_event_id)
+        for r in spark.table("sess_boundary").collect()
+    }
+    assert got == {(10, 1): (3, 3), (20, 4): (1, 4), (20, 5): (1, 5)}
+    # and the batch sessionize agrees: same session labeling
+    from featuregenerator_spark.plans import temporal
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    idx = F.sum(
+        F.when(g.isNull() | (g > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    batch = df.select("user_id", "event_id", idx.alias("session_idx")).collect()
+    labels = {r.event_id: r.session_idx for r in batch}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
