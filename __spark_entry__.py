@@ -617,6 +617,51 @@ def q_neardup_token_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.8)
 
 
+def q_neardup_ngram_jaccard(spark, sf_dir):
+    """Exact character-3-gram (shingle) Jaccard on same-lang candidate
+    pairs — the n-gram flavor of the dedup family (tokenization-free, so
+    it catches near-dups that reword token boundaries: spacing,
+    punctuation, agglutinative langs). Same oracle-baseline role and
+    same scale story as the token variant: the pair scan is the
+    DuckDB-checkable baseline; MinHash banding over the same shingle
+    sets is the 100-TB path (minhash_lsh_candidates' band-table shape
+    is shingle-agnostic).
+
+    Like the token form, Jaccard is computed on xxhash64(shingle)
+    arrays — identical to string-shingle Jaccard absent a collision
+    (~V^2/2^64), and THIS query is oracle-checked against DuckDB's
+    string-shingle Jaccard, so the gate proves the equality."""
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text)-2, 1)),"
+        " i -> substring(text, i, 3)))"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("sh"),
+    ).withColumn("ns", F.size("sh"))
+    par = spark.sparkContext.defaultParallelism
+    a = docs.repartition(par, "doc_id").alias("a")
+    b = docs.alias("b")
+    # lossless size-ratio prune (jac >= 0.8 implies |A|/|B| >= 0.8)
+    pair = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.ns"), F.col("b.ns"))
+            >= F.lit(0.8) * F.greatest(F.col("a.ns"), F.col("b.ns"))
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    jac = inter / (F.col("a.ns") + F.col("b.ns") - inter)
+    return pair.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.8)
+
+
 def q_dedup_connected_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: exact-Jaccard edges ->
     iterative min-label propagation -> (doc, component). Oracle = DuckDB
@@ -2321,13 +2366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_compiled_temporal": q_config_compiled_temporal,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
+        "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
         "combo_feature": q_combo_feature,
         "raw_bucketize": q_raw_bucketize,
-        "lookup_broadcast_dim": q_lookup_broadcast_dim,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2336,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
         "lookup_kv_feature": q_lookup_kv_feature,
         "lookup_gap_kernel": q_lookup_gap_kernel,
@@ -2606,6 +2652,20 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY jaccard DESC, match_id) AS rn
               FROM f)
             WHERE rn = 1""",
+        "neardup_ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                         range(1, greatest(length(text) - 1, 2)),
+                         i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                   AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""",
         "neardup_token_jaccard": """
             WITH t AS (
               SELECT doc_id, lang,
