@@ -206,3 +206,28 @@ def test_simhash_single_pass_matches_hof_reference(spark):
 
     for did, toks in ((1, ["a"]), (2, [""]), (3, ["x", "y", "x"])):
         assert got[did] == ref(toks), did
+
+
+def test_json_compiled_flagship_plans_like_handbuilt(parquet_transcripts):
+    """The declarative surface must not cost a plan regression: the
+    flagship compiled from pure JSON (spec.compile_pipeline) produces
+    the SAME physical shape as the hand-built pipeline — one
+    hashpartitioning Exchange, one Sort feeding all window stages
+    (adjacent withColumn projections collapse in Catalyst)."""
+    from featuregenerator_spark.spec import compile_pipeline
+    from tests.test_pipeline import FLAGSHIP_JSON
+
+    cfg = {
+        "defaults": FLAGSHIP_JSON["defaults"],
+        # the window/session features only (the as-of entry joins a second
+        # table, which legitimately adds its own exchange — pinned at 1
+        # extra in test_asof_join_single_shuffle)
+        "features": [
+            f for f in FLAGSHIP_JSON["features"]
+            if f["feature_type"] != "asof_join"
+        ],
+    }
+    out = compile_pipeline(cfg, parquet_transcripts)
+    plan = _executed(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
