@@ -1476,6 +1476,39 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     )
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Streaming tumbling-window aggregation as a DRIVER-CHECKED query:
+    events ride through readStream -> F.window('1 hour') groupBy ->
+    memory sink in COMPLETE mode (bounded-source flush, as with the
+    session query), and the per-(hour, event_type) counts/sums must
+    equal DuckDB's date_trunc formulation — the third streaming surface
+    (stateful snapshot, session_window, tumbling window) proven through
+    the gate rather than only through pytest parity."""
+    from featuregenerator_spark.streaming.stream_features import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    name = "ev_win_parity"
+    spark.catalog.dropTempView(name)
+    run_stream_to_memory(agg, name, output_mode="complete")
+    t = spark.table(name)
+    return t.select(
+        F.col("window.start").cast("long").alias("win_start"),
+        "event_type",
+        "n_events",
+        F.round("sv", 4).alias("sum_value"),
+    )
+
+
 def q_session_stats(spark, sf_dir):
     """Conversation/session-level feature vectors: per-session event count,
     duration, mean value (north_star conversation-level features)."""
@@ -2367,12 +2400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
+        "streaming_window_counts": q_streaming_window_counts,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
         "combo_feature": q_combo_feature,
-        "raw_bucketize": q_raw_bucketize,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2381,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "raw_bucketize": q_raw_bucketize,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
         "lookup_kv_feature": q_lookup_kv_feature,
@@ -2898,6 +2932,13 @@ def oracle_sql() -> dict[str, str]:
                          + floor((4 + doc_id % 4 + 1) / 2.0) - 1, 6)
                      AS sampled_mean_y
             FROM documents""",
+        "streaming_window_counts": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2""",
         "multimodal_jpeg_decode": """
             SELECT doc_id AS asset_id,
                    CAST(16 AS INTEGER) AS width,
