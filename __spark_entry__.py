@@ -1938,6 +1938,31 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_color(spark, sf_dir):
+    """COLOR JPEG end-to-end: 3-component YCbCr, 4:2:0 interleaved MCUs
+    (4 luma + 2 chroma blocks per 16x16 MCU), chroma quant table and
+    chroma Huffman classes, chroma upsample and the inverse color
+    transform — all pure numpy. Flat gray RGB blocks (even offsets) make
+    the color transform and DC quantization exact, so per-channel means
+    have closed forms; chromatic content is pinned bit-exact against the
+    transform-domain reference in tests/test_jpeg.py."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_jpeg_color_assets,
+        synth_jpeg_color_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = decode_jpeg_color_assets(synth_jpeg_color_assets(docs))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
     (stdlib wave writer) decoded back by the stdlib wave reader inside
@@ -2401,11 +2426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
-        "combo_feature": q_combo_feature,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -2414,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
+        "combo_feature": q_combo_feature,
         "raw_bucketize": q_raw_bucketize,
         "lookup_broadcast_dim": q_lookup_broadcast_dim,
         "match_hit_profile": q_match_hit_profile,
@@ -2952,6 +2978,26 @@ def oracle_sql() -> dict[str, str]:
                      AS y_first,
                    CAST(128 + 2*((doc_id + 3) % 60 - 30) AS INTEGER)
                      AS y_last
+            FROM documents""",
+        "multimodal_jpeg_color_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   round((  (128 + 2*((doc_id + 0) % 60 - 30))
+                          + (128 + 2*((doc_id + 1) % 60 - 30))
+                          + (128 + 2*((doc_id + 2) % 60 - 30))
+                          + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
+                         6) AS mean_r,
+                   round((  (128 + 2*((doc_id + 0) % 60 - 30))
+                          + (128 + 2*((doc_id + 1) % 60 - 30))
+                          + (128 + 2*((doc_id + 2) % 60 - 30))
+                          + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
+                         6) AS mean_g,
+                   round((  (128 + 2*((doc_id + 0) % 60 - 30))
+                          + (128 + 2*((doc_id + 1) % 60 - 30))
+                          + (128 + 2*((doc_id + 2) % 60 - 30))
+                          + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
+                         6) AS mean_b
             FROM documents""",
         "multimodal_wav_decode": """
             SELECT doc_id AS asset_id,

@@ -1,32 +1,32 @@
-"""Pure-numpy baseline-sequential JPEG codec (grayscale, ITU-T T.81).
+"""Pure-numpy baseline-sequential JPEG codec (ITU-T T.81 / JFIF).
 
 Closes the compressed-codec slot of the multimodal story without PIL or
-ffmpeg: a byte-exact JFIF writer (``jpeg_encode_gray``) and a marker-level
-reader (``jpeg_decode_gray``) for baseline DCT, Huffman-coded, 8-bit,
-single-component streams — SOI / APP0 / DQT (8- and 16-bit precision) /
-SOF0 / DHT / DRI / SOS / RSTn / EOI. Quant and Huffman tables are the
-public Annex K defaults (spec constants, not reference code); any tables
-embedded in the stream are honored, so standard-table grayscale JPEGs
-produced elsewhere decode too.
+ffmpeg: a byte-exact JFIF writer and a marker-level reader for baseline
+DCT, Huffman-coded, 8-bit streams — grayscale AND full color (3-component
+YCbCr, interleaved MCUs, 4:4:4 or 4:2:0 chroma subsampling). Markers:
+SOI / APP0 / DQT (8- and 16-bit precision) / SOF0 / DHT / DRI / SOS /
+RSTn / EOI. Quant and Huffman tables are the public Annex K defaults
+(spec constants, not reference code); tables embedded in the stream are
+honored, so standard-table JPEGs produced elsewhere decode too.
 
-The entropy layer (Huffman + byte stuffing + restart markers) is lossless,
-so ``jpeg_decode_gray(jpeg_encode_gray(img, q))`` must equal the
-transform-domain pipeline ``jpeg_reference_gray(img, q)`` (DCT → quantize
-→ dequantize → IDCT with no byte layer) bit-for-bit — the roundtrip pin
-used by tests/test_jpeg.py. Restart intervals exist for the 100-TB
-reason: RSTn boundaries byte-align and reset the DC predictor, which is
-what makes huge scans splittable for parallel decode.
-
-Color (3-component YCbCr) swaps in PIL on a real cluster with the same
-mapInPandas batch shape (see operators/multimodal.py); decode raises a
-clear error on multi-component streams rather than guessing.
+The entropy layer (Huffman + byte stuffing + restart markers) is
+lossless, so ``jpeg_decode(jpeg_encode(img, q))`` must equal the
+transform-domain pipeline ``jpeg_reference(img, q)`` (color transform →
+subsample → DCT → quantize → dequantize → IDCT → upsample → inverse
+color transform, with no byte layer) bit-for-bit — encoder, decoder and
+reference share one component pipeline (``_prep_components`` /
+``_finish_components``) so the equality is structural, and
+tests/test_jpeg.py pins it on random gray and RGB content at both
+subsampling modes. Restart intervals exist for the 100-TB reason: RSTn
+boundaries byte-align and reset the DC predictors, which is what makes
+huge scans splittable for parallel decode.
 
 Decode throughput (one core, this host): ~290 imgs/s on worst-case
-dense-random 64x64 scans (~10k coefficients/img), ~1.8k imgs/s on
+dense-random 64x64 gray scans (~10k coefficients/img), ~1.8k imgs/s on
 smooth content — entropy decode uses flat peek-16 Huffman tables
 (memoized across images) and an int-accumulator bit reader, so cost is
 one list lookup per symbol. A C codec is ~50x faster; at production
-scale PIL/libjpeg swaps in behind the same batch shape, and the
+scale PIL/libjpeg can swap in behind the same batch shape, and the
 parallelism unit is the asset either way.
 
 Reference parity note: the reference repo has no image codecs — this
@@ -40,7 +40,7 @@ import struct
 
 import numpy as np
 
-# --- Annex K Table K.1: luminance quantization (natural/raster order) ---
+# --- Annex K Table K.1/K.2: luminance / chrominance quantization ---
 QUANT_LUMA = np.array(
     [
         [16, 11, 10, 16, 24, 40, 51, 61],
@@ -54,8 +54,21 @@ QUANT_LUMA = np.array(
     ],
     dtype=np.int64,
 )
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
 
-# --- Annex K Tables K.3/K.5: standard luminance Huffman tables ---
+# --- Annex K Tables K.3-K.6: standard Huffman tables ---
 # BITS[i] = number of codes of length i+1; HUFFVAL in code order.
 DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 DC_HUFFVAL = tuple(range(12))
@@ -83,8 +96,36 @@ AC_HUFFVAL = (
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
+DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_HUFFVAL_C = tuple(range(12))
+AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_HUFFVAL_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
 assert sum(DC_BITS) == len(DC_HUFFVAL)
 assert sum(AC_BITS) == len(AC_HUFFVAL) == 162
+assert sum(DC_BITS_C) == len(DC_HUFFVAL_C)
+assert sum(AC_BITS_C) == len(AC_HUFFVAL_C) == 162
 
 
 def _zigzag_order():
@@ -116,14 +157,44 @@ def quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _pad_to_blocks(img: np.ndarray) -> np.ndarray:
-    """Edge-replicate pad to multiples of 8 (T.81 leaves fill free; edge
-    replication minimizes ringing into the kept region)."""
-    h, w = img.shape
-    ph, pw = (-h) % 8, (-w) % 8
-    if ph or pw:
-        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
-    return img
+# --------------------------------------------------------------------------
+# Color transforms (JFIF / BT.601 full range)
+# --------------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB -> (H, W, 3) float64 YCbCr (unshifted)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float YCbCr -> (H, W, 3) uint8 RGB (rounded, clipped)."""
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Component pipeline shared by encoder, decoder and transform reference
+# --------------------------------------------------------------------------
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    if h == ph and w == pw:
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
 def _to_blocks(img: np.ndarray) -> np.ndarray:
@@ -141,32 +212,105 @@ def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
     )
 
 
-def _quantized_blocks(img: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    """(H, W) uint8 -> (n_blocks, 64) int quantized coefficients in
-    zigzag order. One einsum DCTs every block at once."""
-    padded = _pad_to_blocks(np.asarray(img, dtype=np.uint8))
-    blocks = _to_blocks(padded.astype(np.float64) - 128.0)
+def _quantize_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shifted float plane (dims multiples of 8) -> (n_blocks, 64)
+    quantized coefficients in zigzag order. One einsum DCTs every block."""
+    blocks = _to_blocks(plane)
     coefs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
     quant = np.rint(coefs / qtab[None, :, :]).astype(np.int64)
     return quant.reshape(-1, 64)[:, ZIGZAG]
 
 
-def _reconstruct(quant_zz: np.ndarray, qtab_zz: np.ndarray, h: int, w: int):
-    """Inverse of :func:`_quantized_blocks`: dequantize, IDCT, crop."""
+def _plane_from_quant(quant_zz: np.ndarray, qtab_zz: np.ndarray, h8: int, w8: int):
+    """Inverse of :func:`_quantize_plane`: dequantize, IDCT, +128,
+    round/clip to uint8 (dims stay padded; caller crops)."""
     deq = (quant_zz * qtab_zz[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
     blocks = np.einsum("ux,nuv,vy->nxy", _M, deq.astype(np.float64), _M)
-    h8, w8 = h + (-h) % 8, w + (-w) % 8
     img = _from_blocks(blocks, h8, w8) + 128.0
-    return np.clip(np.rint(img), 0, 255).astype(np.uint8)[:h, :w]
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def _subsampling_factors(subsampling: str):
+    if subsampling == "444":
+        return [(1, 1), (1, 1), (1, 1)]
+    if subsampling == "420":
+        return [(2, 2), (1, 1), (1, 1)]
+    raise ValueError(f"unsupported subsampling {subsampling!r} (444 or 420)")
+
+
+def _prep_components(img: np.ndarray, quality: int, subsampling: str):
+    """Image -> per-component (quant_zz blocks grid, qtab, (Hi, Vi)) plus
+    MCU grid dims — the lossy-forward half shared by the encoder and the
+    transform-domain reference."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        samp = [(1, 1)]
+        qtabs = [quality_scale(QUANT_LUMA, quality)]
+        hmax = vmax = 1
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        padded = _pad_edge(img.astype(np.float64), mcuy * 8, mcux * 8)
+        planes = [padded - 128.0]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        h, w = img.shape[:2]
+        samp = _subsampling_factors(subsampling)
+        qtabs = [
+            quality_scale(QUANT_LUMA, quality),
+            quality_scale(QUANT_CHROMA, quality),
+            quality_scale(QUANT_CHROMA, quality),
+        ]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        ycc = rgb_to_ycbcr(img)
+        planes = []
+        for ci, (hi, vi) in enumerate(samp):
+            plane = _pad_edge(ycc[..., ci], mcuy * 8 * vmax, mcux * 8 * hmax)
+            fy, fx = vmax // vi, hmax // hi
+            if fy > 1 or fx > 1:
+                # box-mean subsample of the padded plane
+                ph, pw = plane.shape
+                plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            planes.append(plane - 128.0)
+    else:
+        raise ValueError("expected (H, W) grayscale or (H, W, 3) RGB")
+    grids = []
+    for plane, qtab, (hi, vi) in zip(planes, qtabs, samp):
+        nby, nbx = mcuy * vi, mcux * hi
+        grids.append(_quantize_plane(plane, qtab).reshape(nby, nbx, 64))
+    return grids, qtabs, samp, (h, w), (mcux, mcuy)
+
+
+def _finish_components(grids, qtabs_zz, samp, h, w):
+    """Per-component quantized grids -> decoded image — the lossy-inverse
+    half shared by the decoder and the transform-domain reference."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = []
+    for grid, qtab_zz, (hi, vi) in zip(grids, qtabs_zz, samp):
+        nby, nbx = grid.shape[:2]
+        plane = _plane_from_quant(grid.reshape(-1, 64), qtab_zz, nby * 8, nbx * 8)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    return ycbcr_to_rgb(np.stack([p.astype(np.float64) for p in planes], axis=-1))
+
+
+def jpeg_reference(
+    img: np.ndarray, quality: int = 50, subsampling: str = "444"
+) -> np.ndarray:
+    """Transform-domain pipeline with NO entropy/byte layer — the exact
+    value the full codec must reproduce (the entropy layer is lossless)."""
+    grids, qtabs, samp, (h, w), _ = _prep_components(img, quality, subsampling)
+    qtabs_zz = [q.reshape(-1)[ZIGZAG] for q in qtabs]
+    return _finish_components(grids, qtabs_zz, samp, h, w)
 
 
 def jpeg_reference_gray(img: np.ndarray, quality: int = 50) -> np.ndarray:
-    """Transform-domain pipeline with NO entropy/byte layer — the exact
-    value the full codec must reproduce (the entropy layer is lossless)."""
-    qtab = quality_scale(QUANT_LUMA, quality)
-    quant = _quantized_blocks(img, qtab)
-    h, w = np.asarray(img).shape
-    return _reconstruct(quant, qtab.reshape(-1)[ZIGZAG], h, w)
+    return jpeg_reference(img, quality)
 
 
 # --------------------------------------------------------------------------
@@ -298,85 +442,125 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 
-def jpeg_encode_gray(
-    img: np.ndarray, quality: int = 50, restart_interval: int = 0
-) -> bytes:
-    """(H, W) uint8 -> baseline JFIF bytes (1 component, no subsampling).
+def _encode_block(bw, block, pred, dc_codes, ac_codes) -> int:
+    diff = int(block[0]) - pred
+    ssss = _magnitude_category(diff)
+    code, length = dc_codes[ssss]
+    bw.write(code, length)
+    if ssss:
+        bw.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+    run = 0
+    last_nz = np.nonzero(block[1:])[0]
+    end = int(last_nz[-1]) + 2 if len(last_nz) else 1
+    for v in block[1:end]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        ssss = _magnitude_category(v)
+        code, length = ac_codes[(run << 4) | ssss]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << ssss) - 1, ssss)
+        run = 0
+    if end < 64:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(block[0])
 
-    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs —
-    the byte-aligned split points that make giant scans parallel-
-    decodable."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim != 2:
-        raise ValueError("jpeg_encode_gray takes a single-channel (H, W) image")
-    h, w = img.shape
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 50,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> baseline JFIF bytes.
+
+    Color writes 3 YCbCr components in interleaved MCUs with the Annex K
+    luma/chroma table pairs; ``subsampling`` picks 4:4:4 (1 block per
+    component per MCU) or 4:2:0 (4 luma + 2 chroma per 16x16 MCU).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs — the
+    byte-aligned split points that make giant scans parallel-decodable."""
+    grids, qtabs, samp, (h, w), (mcux, mcuy) = _prep_components(
+        img, quality, subsampling
+    )
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError(f"image dims out of range: {h}x{w}")
-    qtab = quality_scale(QUANT_LUMA, quality)
-    quant = _quantized_blocks(img, qtab)
-
-    dc_codes = _build_codes(DC_BITS, DC_HUFFVAL)
-    ac_codes = _build_codes(AC_BITS, AC_HUFFVAL)
+    ncomp = len(grids)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    # DQT: Pq=0 (8-bit), Tq=0, values in zigzag order
-    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)
-    out += bytes(int(v) for v in qtab.reshape(-1)[ZIGZAG])
-    # SOF0: 8-bit, 1 component, 1x1 sampling, quant table 0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
-    # DHT: DC table 0 then AC table 0
-    for tc, bits, vals in ((0, DC_BITS, DC_HUFFVAL), (1, AC_BITS, AC_HUFFVAL)):
-        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (tc << 4))
+    # DQT: Pq=0 (8-bit), values in zigzag order; table 0 = luma, 1 = chroma
+    ntab = 1 if ncomp == 1 else 2
+    for tq in range(ntab):
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq)
+        out += bytes(int(v) for v in qtabs[min(tq, ncomp - 1)].reshape(-1)[ZIGZAG])
+    # SOF0: 8-bit; component spec = (id, HV, Tq)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (hi, vi) in enumerate(samp[:ncomp]):
+        out += bytes((ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1))
+    # DHT: luma DC/AC (class 0); chroma DC/AC (class 1) when color
+    tables = [(0, 0, DC_BITS, DC_HUFFVAL), (1, 0, AC_BITS, AC_HUFFVAL)]
+    if ncomp == 3:
+        tables += [(0, 1, DC_BITS_C, DC_HUFFVAL_C), (1, 1, AC_BITS_C, AC_HUFFVAL_C)]
+    for tc, th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS: 1 component, DC table 0 / AC table 0, Ss=0 Se=63 Ah/Al=0
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    # SOS: per component (id, Td<<4|Ta), then Ss=0 Se=63 Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes((ci + 1, 0x00 if ci == 0 else 0x11))
+    out += bytes((0, 63, 0))
+
+    dc_codes = [_build_codes(DC_BITS, DC_HUFFVAL)]
+    ac_codes = [_build_codes(AC_BITS, AC_HUFFVAL)]
+    if ncomp == 3:
+        cdc = _build_codes(DC_BITS_C, DC_HUFFVAL_C)
+        cac = _build_codes(AC_BITS_C, AC_HUFFVAL_C)
+        dc_codes += [cdc, cdc]
+        ac_codes += [cac, cac]
 
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * ncomp
     rst = 0
-    for n, block in enumerate(quant):
-        if restart_interval and n and n % restart_interval == 0:
-            bw.flush()
-            out += bw.buf
-            bw = _BitWriter()
-            out += bytes((0xFF, 0xD0 + rst))
-            rst = (rst + 1) & 7
-            pred = 0
-        diff = int(block[0]) - pred
-        pred = int(block[0])
-        ssss = _magnitude_category(diff)
-        code, length = dc_codes[ssss]
-        bw.write(code, length)
-        if ssss:
-            bw.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
-        run = 0
-        last_nz = np.nonzero(block[1:])[0]
-        end = int(last_nz[-1]) + 2 if len(last_nz) else 1
-        for v in block[1:end]:
-            v = int(v)
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
-                run -= 16
-            ssss = _magnitude_category(v)
-            code, length = ac_codes[(run << 4) | ssss]
-            bw.write(code, length)
-            bw.write(v if v >= 0 else v + (1 << ssss) - 1, ssss)
-            run = 0
-        if end < 64:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for ci, (hi, vi) in enumerate(samp[:ncomp]):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        block = grids[ci][my * vi + dy, mx * hi + dx]
+                        preds[ci] = _encode_block(
+                            bw, block, preds[ci], dc_codes[ci], ac_codes[ci]
+                        )
+            mcu_idx += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def jpeg_encode_gray(
+    img: np.ndarray, quality: int = 50, restart_interval: int = 0
+) -> bytes:
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("jpeg_encode_gray takes a single-channel (H, W) image")
+    return jpeg_encode(img, quality, restart_interval)
 
 
 # --------------------------------------------------------------------------
@@ -418,17 +602,18 @@ def _split_scan(buf: bytes, pos: int):
     return intervals, pos
 
 
-def jpeg_decode_gray(buf: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W) uint8. Honors DQT (8/16-bit), DHT,
-    DRI/RSTn from the stream; raises clearly on progressive or multi-
-    component input (color is PIL's job on a cluster)."""
+def jpeg_decode(buf: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W) gray or (H, W, 3) RGB uint8. Honors
+    DQT (8/16-bit), DHT, DRI/RSTn and per-component sampling factors
+    (4:4:4 and 4:2:0) from the stream; raises clearly on progressive
+    input or sampling layouts outside those two."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     dc_tbls: dict[int, tuple] = {}
     ac_tbls: dict[int, tuple] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     restart_interval = 0
     pos = 2
     n = len(buf)
@@ -471,13 +656,20 @@ def jpeg_decode_gray(buf: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", buf, body)
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid = buf[body + 6 + 3 * ci]
+                hv = buf[body + 7 + 3 * ci]
+                tq = buf[body + 8 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            factors = [(c[1], c[2]) for c in comps]
+            if factors not in ([(1, 1)], [(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
                 raise ValueError(
-                    f"{ncomp}-component JPEG unsupported (grayscale only; "
-                    "color decodes via PIL on a real cluster)"
+                    f"unsupported sampling layout {factors} "
+                    "(grayscale, 4:4:4 or 4:2:0 only)"
                 )
-            # component spec starts at body+6: id(1) HV(1) Tq(1)
-            comp_q = buf[body + 8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -488,70 +680,101 @@ def jpeg_decode_gray(buf: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", buf, body)[0]
         elif marker == 0xDA:  # SOS
             ns = buf[body]
-            if ns != 1:
-                raise ValueError("single-component scan expected")
-            comp_dc = buf[body + 2] >> 4
-            comp_ac = buf[body + 2] & 0x0F
-            pos = seg_end
-            intervals, pos = _split_scan(buf, pos)
             if h is None:
                 raise ValueError("SOS before SOF0")
-            return _decode_scan(
-                intervals, h, w, qtabs[comp_q], dc_tbls[comp_dc],
-                ac_tbls[comp_ac], restart_interval,
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans unsupported")
+            # scan component order must follow SOF order (baseline norm)
+            sel = {}
+            for si in range(ns):
+                cid = buf[body + 1 + 2 * si]
+                tt = buf[body + 2 + 2 * si]
+                sel[cid] = (tt >> 4, tt & 0x0F)
+            pos = seg_end
+            intervals, pos = _split_scan(buf, pos)
+            samp = [(c[1], c[2]) for c in comps]
+            grids = _decode_scan(
+                intervals, h, w, samp,
+                [dc_tbls[sel[c[0]][0]] for c in comps],
+                [ac_tbls[sel[c[0]][1]] for c in comps],
+                restart_interval,
+            )
+            return _finish_components(
+                grids, [qtabs[c[3]] for c in comps], samp, h, w
             )
         pos = seg_end
     raise ValueError("no SOS scan found")
 
 
-def _decode_scan(intervals, h, w, qtab_zz, dc_tbl, ac_tbl, restart_interval):
-    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
-    quant = np.zeros((n_blocks, 64), dtype=np.int64)
-    block_idx = 0
-    dc_sym, dc_len = dc_tbl
-    ac_sym, ac_len = ac_tbl
+def jpeg_decode_gray(buf: bytes) -> np.ndarray:
+    """Grayscale-only entry point (the multimodal gray feature path):
+    raises on color streams instead of silently converting."""
+    out = jpeg_decode(buf)
+    if out.ndim != 2:
+        raise ValueError(
+            "3-component JPEG: use jpeg_decode (color decodes natively)"
+        )
+    return out
+
+
+def _decode_scan(intervals, h, w, samp, dc_tbls, ac_tbls, restart_interval):
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    ncomp = len(samp)
+    grids = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64) for hi, vi in samp
+    ]
+    fast = [(dc_tbls[ci][0], dc_tbls[ci][1], ac_tbls[ci][0], ac_tbls[ci][1])
+            for ci in range(ncomp)]
+    mcu_idx = 0
     for interval in intervals:
-        if block_idx >= n_blocks:
+        if mcu_idx >= n_mcus:
             break
         br = _BitReader(interval)
-        pred = 0
+        preds = [0] * ncomp
         limit = (
-            min(block_idx + restart_interval, n_blocks)
+            min(mcu_idx + restart_interval, n_mcus)
             if restart_interval
-            else n_blocks
+            else n_mcus
         )
-        while block_idx < limit:
-            idx = br.peek16()
-            length = dc_len[idx]
-            if length == 0:
-                raise ValueError("invalid Huffman code in scan")
-            br.skip(length)
-            pred += _receive_extend(br, dc_sym[idx])
-            quant[block_idx, 0] = pred
-            k = 1
-            while k < 64:
-                idx = br.peek16()
-                length = ac_len[idx]
-                if length == 0:
-                    raise ValueError("invalid Huffman code in scan")
-                br.skip(length)
-                rs = ac_sym[idx]
-                size = rs & 0x0F
-                if size == 0:
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rs >> 4
-                quant[block_idx, k] = _receive_extend(br, size)
-                k += 1
-            block_idx += 1
-            # padded tail of the final byte is all 1-bits; a full block
+        while mcu_idx < limit:
+            my, mx = divmod(mcu_idx, mcux)
+            for ci, (hi, vi) in enumerate(samp):
+                dc_sym, dc_len, ac_sym, ac_len = fast[ci]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        block = grids[ci][my * vi + dy, mx * hi + dx]
+                        idx = br.peek16()
+                        length = dc_len[idx]
+                        if length == 0:
+                            raise ValueError("invalid Huffman code in scan")
+                        br.skip(length)
+                        preds[ci] += _receive_extend(br, dc_sym[idx])
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            idx = br.peek16()
+                            length = ac_len[idx]
+                            if length == 0:
+                                raise ValueError("invalid Huffman code in scan")
+                            br.skip(length)
+                            rs = ac_sym[idx]
+                            size = rs & 0x0F
+                            if size == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            block[k] = _receive_extend(br, size)
+                            k += 1
+            mcu_idx += 1
+            # padded tail of the final byte is all 1-bits; a full MCU
             # never fits in <8 bits, so stop cleanly at interval end
-            if br.real_bits_left() < 8 and block_idx < limit:
+            if br.real_bits_left() < 8 and mcu_idx < limit:
                 break
-    if block_idx != n_blocks:
-        raise ValueError(
-            f"scan ended after {block_idx}/{n_blocks} blocks"
-        )
-    return _reconstruct(quant, qtab_zz, h, w)
+    if mcu_idx != n_mcus:
+        raise ValueError(f"scan ended after {mcu_idx}/{n_mcus} MCUs")
+    return grids

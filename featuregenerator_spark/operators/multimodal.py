@@ -516,6 +516,83 @@ def synth_jpeg_assets(
     return ids.mapInPandas(gen, schema="asset_id long, kind string, payload binary")
 
 
+def synth_jpeg_color_assets(
+    ids: DataFrame, id_col: str = "asset_id", quality: int = 50
+) -> DataFrame:
+    """Deterministic COLOR JPEG payloads (3-component YCbCr, 4:2:0
+    interleaved MCUs, chroma tables + chroma Huffman classes), one per
+    id: a 16x16 RGB image of four flat gray blocks (R=G=B, even offsets
+    from 128). Gray values make the color transform exact (Y = v,
+    Cb = Cr = 128 up to float eps that quantizes to zero), so the whole
+    color pipeline — MCU layout, both Huffman table classes, chroma
+    subsample/upsample, inverse color transform — roundtrips bit-exact
+    and the per-channel means have closed forms the oracle states.
+    Chromatic content is pinned bit-exact against the transform-domain
+    reference in tests/test_jpeg.py (random RGB, 4:4:4 and 4:2:0)."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.jpeg import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                img = np.empty((16, 16, 3), dtype=np.uint8)
+                for b in range(4):
+                    r, c = (b // 2) * 8, (b % 2) * 8
+                    img[r : r + 8, c : c + 8, :] = 128 + 2 * ((i + b) % 60 - 30)
+                payloads.append(jpeg_encode(img, quality, subsampling="420"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="asset_id long, kind string, payload binary")
+
+
+JPEG_COLOR_FEATURE_DDL = (
+    "asset_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_jpeg_color_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Full color JPEG decode (marker parse -> interleaved-MCU Huffman
+    decode with per-component predictors -> dequantize -> IDCT -> chroma
+    upsample -> YCbCr->RGB) per payload inside mapInPandas."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.jpeg import jpeg_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for aid, payload in zip(chunk["asset_id"], chunk["payload"]):
+                    rgb = jpeg_decode(bytes(payload))
+                    means = rgb.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    rows.append(
+                        (
+                            int(aid), int(rgb.shape[1]), int(rgb.shape[0]),
+                            float(means[0]), float(means[1]), float(means[2]),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id", "width", "height",
+                        "mean_r", "mean_g", "mean_b",
+                    ],
+                )
+
+    return assets.mapInPandas(decode, schema=JPEG_COLOR_FEATURE_DDL)
+
+
 JPEG_FEATURE_DDL = (
     "asset_id long, width int, height int, mean_y double, "
     "y_first int, y_last int"

@@ -130,3 +130,86 @@ def test_spark_decode_matches_closed_form(spark):
         assert (r.width, r.height) == (16, 16)
         assert r.y_first == vals[0] and r.y_last == vals[3]
         assert abs(r.mean_y - sum(vals) / 4.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Color (3-component YCbCr, 4:4:4 and 4:2:0)
+# ---------------------------------------------------------------------------
+
+from featuregenerator_spark.operators.jpeg import (  # noqa: E402
+    jpeg_decode,
+    jpeg_encode,
+    jpeg_reference,
+)
+
+
+@pytest.mark.parametrize("quality", [25, 50, 75, 90])
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (20, 13), (33, 47)])
+def test_color_roundtrip_equals_transform_reference(shape, subsampling, quality):
+    """Byte-level color decode == transform-domain reference bit-for-bit
+    on random RGB: exercises interleaved MCUs, both Huffman table
+    classes, per-component DC predictors, chroma subsample/upsample and
+    the inverse color transform, incl. non-MCU-multiple dims."""
+    rng = np.random.default_rng((hash(shape) ^ hash(subsampling)) % 2**32)
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality, subsampling=subsampling))
+    assert np.array_equal(dec, jpeg_reference(img, quality, subsampling))
+
+
+def test_color_restart_markers_decode_identically():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(40, 32, 3), dtype=np.uint8)
+    plain = jpeg_decode(jpeg_encode(img, 60, subsampling="420"))
+    restarted = jpeg_encode(img, 60, restart_interval=2, subsampling="420")
+    assert b"\xff\xd0" in restarted or b"\xff\xd1" in restarted
+    assert np.array_equal(jpeg_decode(restarted), plain)
+
+
+def test_gray_rgb_blocks_roundtrip_exactly_in_color():
+    """Flat gray RGB blocks with even offsets: Y = v exactly and
+    Cb = Cr = 128 (coefficient rows sum to 1 / 0), so the FULL color
+    pipeline at 4:2:0 returns the source image — the closed form the
+    multimodal_jpeg_color_decode oracle states."""
+    img = np.empty((16, 16, 3), dtype=np.uint8)
+    for b, v in enumerate([68, 130, 186, 128]):
+        r, c = (b // 2) * 8, (b % 2) * 8
+        img[r : r + 8, c : c + 8, :] = v
+    dec = jpeg_decode(jpeg_encode(img, 50, subsampling="420"))
+    assert np.array_equal(dec, img)
+
+
+def test_color_rejections():
+    with pytest.raises(ValueError, match="444 or 420"):
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), 50, subsampling="422")
+    with pytest.raises(ValueError, match="grayscale or"):
+        jpeg_encode(np.zeros((8, 8, 4), dtype=np.uint8), 50)
+    buf = jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), 50)
+    with pytest.raises(ValueError, match="jpeg_decode"):
+        jpeg_decode_gray(buf)  # gray entry point refuses color streams
+
+
+def test_color_smooth_gradient_small_error():
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    img = np.stack(
+        [np.tile(x, (64, 1)), np.tile(x[::-1], (64, 1)),
+         np.full((64, 64), 128, np.uint8)], axis=-1,
+    )
+    dec = jpeg_decode(jpeg_encode(img, 90))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_spark_color_decode_matches_closed_form(spark):
+    from featuregenerator_spark.operators.multimodal import (
+        decode_jpeg_color_assets,
+        synth_jpeg_color_assets,
+    )
+
+    ids = spark.range(30).withColumnRenamed("id", "asset_id")
+    rows = decode_jpeg_color_assets(synth_jpeg_color_assets(ids)).collect()
+    assert len(rows) == 30
+    for r in rows:
+        want = sum(128 + 2 * ((r.asset_id + b) % 60 - 30) for b in range(4)) / 4.0
+        assert (r.width, r.height) == (16, 16)
+        for got in (r.mean_r, r.mean_g, r.mean_b):
+            assert abs(got - want) < 1e-9
