@@ -1963,6 +1963,68 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     )
 
 
+def q_quality_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule battery (Rae et al. 2021, Appendix A)
+    over the documents table: word/line counts, mean word length,
+    symbol-to-word ratio, alpha-word fraction, required-stopword hits,
+    duplicate-line fraction + duplicate-line CHARACTER fraction,
+    bullet-start / ellipsis-end line fractions, and the composite pass
+    flag at the published thresholds. All pure Column exprs (whole-stage
+    codegen; the line-repetition lambda captures the outer array exactly
+    like the DuckDB oracle's list_filter). The synthetic docs carry no
+    newlines, so the query first derives deterministic pseudo-lines
+    (newline every 8th word) with the same regex in both engines —
+    making every line metric non-trivial."""
+    from featuregenerator_spark.operators.quality_rules import with_quality_rules
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    out = with_quality_rules(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.col("passes_gopher").cast("int").alias("passes_gopher"),
+    )
+
+
+def q_quality_top_ngram(spark, sf_dir):
+    """Top word-n-gram character fraction (the Gopher repetition rule
+    family's n-gram half) for n = 2 and 3, RELATIONAL form: explode
+    n-grams -> map-side partial count on (doc, gram) -> window max with
+    a deterministic gram tie-break. Unlike the per-row HOF rules this
+    shape scales to unbounded repetition structure per document."""
+    from featuregenerator_spark.operators.quality_rules import (
+        top_ngram_char_fraction,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t2 = top_ngram_char_fraction(docs, 2)
+    t3 = top_ngram_char_fraction(docs, 3)
+    return (
+        t2.join(t3, "doc_id")
+        .select(
+            "doc_id",
+            "top_2gram",
+            "top_2gram_count",
+            F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+            "top_3gram",
+            "top_3gram_count",
+            F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        )
+    )
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec end-to-end: deterministic 16-bit PCM WAV payloads
     (stdlib wave writer) decoded back by the stdlib wave reader inside
@@ -2427,12 +2489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
+        "quality_gopher_rules": q_quality_gopher_rules,
+        "quality_top_ngram": q_quality_top_ngram,
+        # streaming sink staging/naming changed in r4 -> stays in-window
+        "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "id_feature": q_id_feature,
-        # streaming sink staging/naming changed in r4 -> stays in-window
-        "streaming_snapshot_parity": q_streaming_snapshot_parity,
         "ann_lsh_top10": q_ann_lsh_top10,
         "lang_id_ngram": q_lang_id,
         "quality_score": q_quality_score,
@@ -2999,6 +3063,137 @@ def oracle_sql() -> dict[str, str]:
                           + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
                          6) AS mean_b
             FROM documents""",
+        "quality_gopher_rules": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> l <> '') AS lines
+              FROM d
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(coalesce(list_sum(list_transform(words,
+                       w -> length(w))), 0) AS DOUBLE) / len(words)
+                ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  ( (length(text) - length(replace(text, '#', '')))
+                  + (length(text)
+                     - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+                  + (length(text) - length(replace(text, '…', ''))) )
+                  / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS symbol_word_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                  / len(words)
+                ELSE 0.0 END AS alpha_word_frac,
+                CAST(len(list_filter(words, w -> list_contains(
+                     ['the','be','to','of','and','that','have','with'],
+                     lower(w)))) AS BIGINT) AS stopword_hits,
+                CASE WHEN len(lines) > 0 THEN
+                  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                  / len(lines)
+                ELSE 0.0 END AS dup_line_frac,
+                CASE WHEN coalesce(list_sum(list_transform(lines,
+                          l -> length(l))), 0) > 0 THEN
+                  CAST(coalesce(list_sum(list_transform(lines,
+                       l -> CASE WHEN len(list_filter(lines, y -> y = l)) > 1
+                            THEN length(l) ELSE 0 END)), 0) AS DOUBLE)
+                  / list_sum(list_transform(lines, l -> length(l)))
+                ELSE 0.0 END AS dup_line_char_frac,
+                CASE WHEN len(lines) > 0 THEN
+                  CAST(len(list_filter(lines, l -> regexp_matches(l,
+                       '^\s*([-*•]|•)'))) AS DOUBLE) / len(lines)
+                ELSE 0.0 END AS bullet_line_frac,
+                CASE WHEN len(lines) > 0 THEN
+                  CAST(len(list_filter(lines, l -> regexp_matches(l,
+                       '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(lines)
+                ELSE 0.0 END AS ellipsis_line_frac
+              FROM s
+            )
+            SELECT doc_id, n_words, n_lines,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_word_ratio, 6) AS symbol_word_ratio,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   stopword_hits,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   round(dup_line_char_frac, 6) AS dup_line_char_frac,
+                   round(bullet_line_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stopword_hits >= 2
+                    AND dup_line_frac <= 0.3
+                    AND dup_line_char_frac <= 0.2 AS INTEGER)
+                     AS passes_gopher
+            FROM m""",
+        "quality_top_ngram": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), tot AS (
+              SELECT doc_id, words,
+                     coalesce(list_sum(list_transform(words,
+                          x -> length(x))), 0)
+                     + greatest(len(words) - 1, 0) AS total_chars
+              FROM w
+            ), g2 AS (
+              SELECT doc_id, total_chars,
+                     words[i] || ' ' || words[i+1] AS gram
+              FROM tot, unnest(range(1, len(words))) AS t(i)
+            ), c2 AS (
+              SELECT doc_id, total_chars, gram, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC)
+                       AS rn
+              FROM g2 GROUP BY doc_id, total_chars, gram
+            ), t2 AS (
+              SELECT doc_id, gram, cnt,
+                     cnt * length(gram) / CAST(total_chars AS DOUBLE)
+                       AS frac
+              FROM c2 WHERE rn = 1
+            ), g3 AS (
+              SELECT doc_id, total_chars,
+                     words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       AS gram
+              FROM tot, unnest(range(1, len(words) - 1)) AS t(i)
+            ), c3 AS (
+              SELECT doc_id, total_chars, gram, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram ASC)
+                       AS rn
+              FROM g3 GROUP BY doc_id, total_chars, gram
+            ), t3 AS (
+              SELECT doc_id, gram, cnt,
+                     cnt * length(gram) / CAST(total_chars AS DOUBLE)
+                       AS frac
+              FROM c3 WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(t2.gram, '') AS top_2gram,
+                   CAST(coalesce(t2.cnt, 0) AS BIGINT) AS top_2gram_count,
+                   round(coalesce(t2.frac, 0.0), 6) AS top_2gram_char_frac,
+                   coalesce(t3.gram, '') AS top_3gram,
+                   CAST(coalesce(t3.cnt, 0) AS BIGINT) AS top_3gram_count,
+                   round(coalesce(t3.frac, 0.0), 6) AS top_3gram_char_frac
+            FROM documents d
+            LEFT JOIN t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN t3 ON d.doc_id = t3.doc_id""",
         "multimodal_wav_decode": """
             SELECT doc_id AS asset_id,
                    CAST(1 AS INTEGER) AS n_channels,

@@ -1,0 +1,247 @@
+"""Gopher-style document quality / repetition rules.
+
+The standard pre-filter battery a training-data curation pipeline runs
+before any model-based scoring (Rae et al. 2021, "Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher", Appendix A
+— public paper; thresholds below are the published ones). Two shapes:
+
+* **Per-doc scalar rules** (`with_quality_rules`): word count, mean
+  word length, symbol-to-word ratio, alpha-word fraction, stopword
+  hits, and the line-repetition family (duplicate-line fraction,
+  duplicate-line *character* fraction, bullet-start / ellipsis-end
+  line fractions). All pure Column expressions over split arrays —
+  whole-stage codegen, no shuffle, no Python. The duplicate-line pass
+  is O(L^2) per document in the number of LINES (not words); documents
+  have tens of lines, so this stays cheap and local. Every metric has
+  an exact DuckDB oracle (list lambdas capture the outer list the same
+  way Spark higher-order functions do).
+
+* **Top n-gram character fraction** (`top_ngram_char_fraction`): the
+  fraction of a document's characters covered by its most frequent
+  word n-gram. This one is deliberately RELATIONAL (explode n-grams ->
+  groupBy(doc, gram) -> max by window), not a per-row HOF: the
+  repetition structure is unbounded per doc, and the relational form
+  is the one that scales — Catalyst gets partial aggregation map-side,
+  and the shuffle key (doc_id, gram) is fine-grained enough that one
+  pathological document cannot serialize a partition.
+
+The reference (fg_lite) has no document-curation analogue; these follow
+the same declare-a-feature-over-a-column style as the rest of the
+engine (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# The published rule thresholds (Gopher Appendix A). Documented subset:
+# we keep the rules expressible over (words, lines) exactly.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.2
+
+# Gopher's "required word" stopword list (the paper's own set).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_WS = r"\s+"
+
+
+def _words(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing space)."""
+    return F.filter(F.split(text, _WS), lambda w: w != "")
+
+
+def _lines(text: Column) -> Column:
+    """Newline-split lines with empties dropped."""
+    return F.filter(F.split(text, "\n"), lambda l: l != "")
+
+
+def quality_rule_columns(text: Column) -> dict[str, Column]:
+    """The per-doc scalar rule metrics as named Columns (pure exprs)."""
+    words = _words(text)
+    lines = _lines(text)
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    nw = n_words.cast("double")
+    nl = n_lines.cast("double")
+
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double")
+    mean_word_len = F.when(n_words > 0, total_word_chars / nw).otherwise(0.0)
+
+    # symbols-to-words: '#' and the '...' / '…' ellipses, per the paper
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell3 = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    n_ell1 = F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    symbol_word_ratio = F.when(
+        n_words > 0, (n_hash + n_ell3 + n_ell1).cast("double") / nw
+    ).otherwise(0.0)
+
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / nw
+    ).otherwise(0.0)
+
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stopword_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    ).cast("long")
+
+    dup_lines = n_lines - F.size(F.array_distinct(lines)).cast("long")
+    dup_line_frac = F.when(n_lines > 0, dup_lines.cast("double") / nl).otherwise(
+        0.0
+    )
+
+    # characters inside lines that occur more than once, over all line
+    # characters — the lambda captures `lines` exactly like the DuckDB
+    # oracle's list_filter captures its outer list
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, l: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    dup_line_char_frac = F.when(
+        total_line_chars > 0,
+        dup_line_chars.cast("double") / total_line_chars.cast("double"),
+    ).otherwise(0.0)
+
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|•)"))
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, bullet_lines.cast("double") / nl
+    ).otherwise(0.0)
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    ellipsis_line_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / nl
+    ).otherwise(0.0)
+
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_word_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (bullet_line_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_word_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stopword_hits >= GOPHER_MIN_STOPWORD_HITS)
+        & (dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (dup_line_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+    )
+
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "alpha_word_frac": alpha_word_frac,
+        "stopword_hits": stopword_hits,
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "passes_gopher": passes,
+    }
+
+
+def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append every scalar rule metric + the composite pass flag."""
+    cols = quality_rule_columns(F.col(text_col))
+    return df.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
+def top_ngram_char_fraction(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per doc: the fraction of word characters covered by the most
+    frequent word n-gram — chars_covered = max_count * length(gram
+    with single spaces), over total word chars + single inter-word
+    spaces (i.e. length of the space-normalized document).
+
+    Relational shape (explode -> partial agg -> window max): scales to
+    any repetition structure; the shuffle key is (doc, gram).
+    Documents with fewer than n words get fraction 0.
+    """
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        (
+            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            + F.greatest(F.size(words) - 1, F.lit(0))
+        ).alias("__total_chars"),
+    )
+    grams = base.select(
+        id_col,
+        "__total_chars",
+        F.explode(
+            F.when(
+                F.size("__w") >= n,
+                F.transform(
+                    F.slice("__w", 1, F.greatest(F.size("__w") - (n - 1), F.lit(0))),
+                    lambda _, i: F.concat_ws(
+                        " ", F.slice("__w", i + 1, n)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "__total_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cnt"), F.asc("gram")
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias(f"top_{n}gram"),
+            F.col("cnt").alias(f"top_{n}gram_count"),
+            (
+                F.col("cnt") * F.length("gram")
+                / F.col("__total_chars").cast("double")
+            ).alias(f"top_{n}gram_char_frac"),
+        )
+    )
+    # docs with < n words drop out of the explode; restore with frac 0
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(f"top_{n}gram", F.lit("")).alias(f"top_{n}gram"),
+            F.coalesce(f"top_{n}gram_count", F.lit(0)).alias(
+                f"top_{n}gram_count"
+            ),
+            F.coalesce(f"top_{n}gram_char_frac", F.lit(0.0)).alias(
+                f"top_{n}gram_char_frac"
+            ),
+        )
+    )
