@@ -1963,6 +1963,30 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     )
 
 
+def q_multimodal_png(spark, sf_dir):
+    """SECOND real compressed codec end-to-end: deterministic RGB images
+    as PNG payloads (pure-numpy scanline filtering + stdlib-zlib DEFLATE,
+    CRC-checked chunk framing) decoded back inside mapInPandas. The
+    synth cycles scanline filters (y % 5) so one query exercises every
+    unfilter branch (None/Sub/Up/Average/Paeth); PNG is lossless, so the
+    oracle is the SAME closed form as the uncompressed BMP query."""
+    from featuregenerator_spark.operators.multimodal import (
+        decode_png_assets,
+        synth_png_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = decode_png_assets(synth_png_assets(docs))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_quality_gopher_rules(spark, sf_dir):
     """Gopher-style quality rule battery (Rae et al. 2021, Appendix A)
     over the documents table: word/line counts, mean word length,
@@ -2491,13 +2515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
         "quality_gopher_rules": q_quality_gopher_rules,
         "quality_top_ngram": q_quality_top_ngram,
+        "multimodal_png_decode": q_multimodal_png,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
-        "id_feature": q_id_feature,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "id_feature": q_id_feature,
         "lang_id_ngram": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3062,6 +3087,14 @@ def oracle_sql() -> dict[str, str]:
                           + (128 + 2*((doc_id + 2) % 60 - 30))
                           + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
                          6) AS mean_b
+            FROM documents""",
+        "multimodal_png_decode": """
+            SELECT doc_id AS asset_id,
+                   CAST(16 + doc_id % 8 AS INTEGER) AS width,
+                   CAST(12 + doc_id % 5 AS INTEGER) AS height,
+                   round(CAST(doc_id % 251 AS DOUBLE), 6) AS mean_r,
+                   round((16 + doc_id % 8 - 1) / 2.0, 6) AS mean_g,
+                   round((12 + doc_id % 5 - 1) / 2.0, 6) AS mean_b
             FROM documents""",
         "quality_gopher_rules": r"""
             WITH d AS (

@@ -277,6 +277,78 @@ def decode_bmp_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     return assets.mapInPandas(decode, schema=IMAGE_FEATURE_DDL)
 
 
+def synth_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic RGB test images, one REAL compressed PNG payload per
+    id (pure-numpy encoder, stdlib-zlib DEFLATE; ``operators/png.py``).
+    Same closed-form pattern as the BMP synth (W = 16 + id%8,
+    H = 12 + id%5; constant R, column-gradient G, row-gradient B) so the
+    SQL oracle is identical. Encoded with the "cycle" filter strategy —
+    scanline y uses filter y % 5 — so every decode branch (None / Sub /
+    Up / Average / Paeth) is exercised by every payload."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.png import png_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = 16 + i % 8, 12 + i % 5
+                rgb = np.empty((h, w, 3), dtype=np.uint8)
+                rgb[:, :, 0] = i % 251
+                rgb[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+                rgb[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+                payloads.append(png_encode(rgb, filter_strategy="cycle"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="asset_id long, kind string, payload binary")
+
+
+def decode_png_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL compressed-image decode path: CRC-checked chunk parse, zlib
+    inflate, and scanline unfiltering (pure numpy) inside mapInPandas;
+    emits the same per-asset features as the BMP path. Grayscale
+    payloads report the luma in all three channel means."""
+    import numpy as np
+
+    from featuregenerator_spark.operators.png import png_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for aid, payload in zip(chunk["asset_id"], chunk["payload"]):
+                    img = png_decode(bytes(payload))
+                    if img.ndim == 2:
+                        m = float(img.mean())
+                        means = np.array([m, m, m])
+                    else:
+                        means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            int(aid), int(img.shape[1]), int(img.shape[0]),
+                            float(means[0]), float(means[1]), float(means[2]),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id", "width", "height",
+                        "mean_r", "mean_g", "mean_b",
+                    ],
+                )
+
+    return assets.mapInPandas(decode, schema=IMAGE_FEATURE_DDL)
+
+
 def resize_images(
     assets: DataFrame, width: int, height: int, batch_rows: int = 256
 ) -> DataFrame:
