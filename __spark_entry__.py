@@ -1963,6 +1963,68 @@ def q_multimodal_jpeg_color(spark, sf_dir):
     )
 
 
+def q_config_compiled_curation(spark, sf_dir):
+    """The declarative contract over the CURATION stage: one JSON config
+    declares token counting, Gopher rule metrics, C4 line cleaning, PII
+    scrubbing, trigram language ID, a derived curation flag, and the row
+    filter — compile_pipeline applies them in declaration order (same
+    surface that already declares the whole temporal flagship). The
+    filter threshold is chosen so BOTH branches fire at sf0.01 (short
+    docs fail keep_doc/n_tokens). Oracle = the individual operators'
+    oracle fragments composed as CTEs with the same WHERE."""
+    from featuregenerator_spark.spec import compile_pipeline
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1.\n").alias(
+            "text_lines"
+        ),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org"),
+        ).alias("text_pii"),
+    )
+    config = {
+        "features": [
+            {"feature_type": "text_metric", "feature_name": "n_tokens",
+             "column": "text", "metric": "token_count"},
+            {"feature_type": "quality_rule", "feature_name": "stop_hits",
+             "column": "text", "metric": "stopword_hits"},
+            {"feature_type": "quality_rule", "feature_name": "mean_wlen",
+             "column": "text", "metric": "mean_word_len"},
+            {"feature_type": "c4_clean", "feature_name": "kept_lines",
+             "column": "text_lines", "metric": "n_kept_lines"},
+            {"feature_type": "c4_clean", "feature_name": "keep_doc",
+             "column": "text_lines", "metric": "keep_doc"},
+            {"feature_type": "pii_scrub", "feature_name": "emails_found",
+             "column": "text_pii", "metric": "n_email"},
+            {"feature_type": "pii_scrub", "feature_name": "clean_pii_text",
+             "column": "text_pii", "metric": "scrubbed_text"},
+            {"feature_type": "lang_id_trigram", "feature_name": "lang_pred",
+             "id_column": "doc_id", "column": "text"},
+            {"feature_type": "derive", "feature_name": "curated",
+             "expression": "keep_doc AND n_tokens >= 40 AND stop_hits >= 1"},
+            {"feature_type": "filter", "feature_name": "curated_only",
+             "predicate": "curated"},
+        ]
+    }
+    out = compile_pipeline(config, docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        F.round("mean_wlen", 6).alias("mean_wlen"),
+        "kept_lines",
+        F.col("keep_doc").cast("int").alias("keep_doc"),
+        "emails_found",
+        "clean_pii_text",
+        "lang_pred",
+    )
+
+
 def q_c4_line_filter(spark, sf_dir):
     """C4-style boilerplate line cleaning (Raffel et al. 2020): keep
     lines with >= 3 words, terminal punctuation, and no blocklist
@@ -2529,7 +2591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
-        "match_cross": q_match_cross,
         "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
         "normalizer_minmax": q_normalizer_minmax,
@@ -2579,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png,
         "c4_line_filter": q_c4_line_filter,
         "pii_scrub": q_pii_scrub,
+        "config_compiled_curation": q_config_compiled_curation,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2592,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
         # displaced to tail in r4 (unchanged this round; green r03 rows)
+        "match_cross": q_match_cross,
         "asof_pandas_parity": q_asof_pandas_parity,
         "rolling_min_exclusive": q_rolling_min_exclusive,
         "combo_feature": q_combo_feature,
@@ -3154,6 +3217,75 @@ def oracle_sql() -> dict[str, str]:
                           + (128 + 2*((doc_id + 3) % 60 - 30))) / 4.0,
                          6) AS mean_b
             FROM documents""",
+        "config_compiled_curation": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '((?:\\S+ ){{7}}\\S+) ',
+                                    '\\1.' || chr(10), 'g') AS text_lines,
+                     text || ' contact user' || doc_id
+                          || '@mail.example.org' AS text_pii
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words
+              FROM base
+            ), li AS (
+              SELECT doc_id,
+                     list_filter(string_split(text_lines, chr(10)),
+                                 l -> l <> '') AS lines
+              FROM base
+            ), k AS (
+              SELECT doc_id,
+                     list_filter(lines, l ->
+                       len(list_filter(regexp_split_to_array(l, '\\s+'),
+                           x -> x <> '')) >= 3
+                       AND regexp_matches(l, '[.!?"]\\s*$')
+                       AND NOT (contains(lower(l), 'lorem ipsum')
+                                OR contains(lower(l), 'javascript')
+                                OR contains(lower(l), '{{')
+                                OR contains(lower(l), 'cookie policy'))
+                     ) AS kept
+              FROM li
+            ), lang AS ({lang_trigram.oracle_sql("documents", "doc_id")}),
+            m AS (
+              SELECT b.doc_id,
+                CAST(len(regexp_extract_all(b.text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+                  AS n_tokens,
+                CAST(len(list_filter(w.words, x -> list_contains(
+                     ['the','be','to','of','and','that','have','with'],
+                     lower(x)))) AS BIGINT) AS stop_hits,
+                CASE WHEN len(w.words) > 0 THEN
+                  CAST(coalesce(list_sum(list_transform(w.words,
+                       x -> length(x))), 0) AS DOUBLE) / len(w.words)
+                ELSE 0.0 END AS mean_wlen,
+                CAST(len(k.kept) AS BIGINT) AS kept_lines,
+                CAST(len(k.kept) >= 3 AS INTEGER) AS keep_doc,
+                CAST(len(regexp_extract_all(b.text_pii,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}'
+                     )) AS BIGINT) AS emails_found,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(b.text_pii,
+                      '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+                      '<EMAIL>', 'g'),
+                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                    '<IP>', 'g'),
+                  '\\+?[0-9]{{1,3}}[ \\-][0-9]{{3}}[ \\-][0-9]{{3}}[ \\-]?[0-9]{{0,4}}',
+                  '<PHONE>', 'g') AS clean_pii_text,
+                lang.lang_pred
+              FROM base b
+              JOIN w USING (doc_id)
+              JOIN k USING (doc_id)
+              JOIN lang USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, stop_hits,
+                   round(mean_wlen, 6) AS mean_wlen,
+                   kept_lines, keep_doc, emails_found, clean_pii_text,
+                   lang_pred
+            FROM m
+            WHERE keep_doc = 1 AND n_tokens >= 40 AND stop_hits >= 1""",
         "c4_line_filter": r"""
             WITH d AS (
               SELECT doc_id,

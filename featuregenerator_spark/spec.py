@@ -103,6 +103,55 @@ _TEMPORAL_TYPES = {
     "asof_join",
 }
 
+# Document-curation lifts (operators/quality_rules.py, text_clean.py,
+# functions/lang_trigram.py, operators/text_analysis.py): the same
+# "declared, not programmed" contract extended to the training-data
+# curation stage — a JSON config declares metrics, cleaning, scrubbing,
+# language ID, derived flags, and row filters, applied in order.
+_CURATION_TYPES = {
+    "quality_rule",
+    "c4_clean",
+    "pii_scrub",
+    "text_metric",
+    "lang_id_trigram",
+    "filter",
+}
+
+# metric vocabularies validated at parse time; pinned against the actual
+# operator column dicts in tests/test_spec_curation.py so they cannot
+# drift from the implementations
+_QUALITY_METRICS = (
+    "n_words",
+    "n_lines",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "alpha_word_frac",
+    "stopword_hits",
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "passes_gopher",
+)
+_C4_METRICS = ("n_lines", "n_kept_lines", "n_dropped_lines", "clean_text", "keep_doc")
+_PII_METRICS = ("n_email", "n_ip", "n_phone", "scrubbed_text")
+_TEXT_METRICS = ("token_count", "quality_score", "fingerprint")
+
+_CURATION_REQUIRED = {
+    "quality_rule": ("metric",),
+    "c4_clean": ("metric",),
+    "pii_scrub": ("metric",),
+    "text_metric": ("metric",),
+    "lang_id_trigram": ("id_column",),
+    "filter": ("predicate",),
+}
+_CURATION_METRIC_VOCAB = {
+    "quality_rule": _QUALITY_METRICS,
+    "c4_clean": _C4_METRICS,
+    "pii_scrub": _PII_METRICS,
+    "text_metric": _TEXT_METRICS,
+}
+
 # required params per temporal type (validated at parse time — the same
 # config-time-over-runtime-error stance as the kernel validations below)
 _TEMPORAL_REQUIRED = {
@@ -138,12 +187,28 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
     specs: list[FeatureSpec] = []
     for entry in doc.get("features", []):
         ftype = entry.get("feature_type")
-        if ftype not in _KNOWN_TYPES and ftype not in _TEMPORAL_TYPES:
+        if (
+            ftype not in _KNOWN_TYPES
+            and ftype not in _TEMPORAL_TYPES
+            and ftype not in _CURATION_TYPES
+        ):
             raise ValueError(f"unknown feature_type: {ftype!r}")
         name = entry.get("feature_name")
         if not name:
             raise ValueError("feature_name is required")
         params = {k: v for k, v in entry.items() if k not in ("feature_type", "feature_name")}
+        if ftype in _CURATION_TYPES:
+            for req in _CURATION_REQUIRED.get(ftype, ()):
+                if req not in params:
+                    raise ValueError(f"{name}: {ftype} requires {req!r}")
+            vocab = _CURATION_METRIC_VOCAB.get(ftype)
+            if vocab and params["metric"] not in vocab:
+                raise ValueError(
+                    f"{name}: {ftype} metric must be one of {vocab}, "
+                    f"got {params['metric']!r}"
+                )
+            specs.append(FeatureSpec(ftype, name, params))
+            continue
         if ftype in _TEMPORAL_TYPES:
             for k in _TEMPORAL_DEFAULT_KEYS:
                 if k not in params and k in defaults:
@@ -570,11 +635,15 @@ def compile_config(config: str | dict, df: DataFrame) -> DataFrame:
     Row-level kernels only; configs that declare temporal lifts compile
     through :func:`compile_pipeline`."""
     specs = parse_config(config)
-    temporal_specs = [s for s in specs if s.feature_type in _TEMPORAL_TYPES]
-    if temporal_specs:
+    lifted = [
+        s
+        for s in specs
+        if s.feature_type in _TEMPORAL_TYPES or s.feature_type in _CURATION_TYPES
+    ]
+    if lifted:
         raise ValueError(
-            "config declares temporal features "
-            f"({[s.feature_name for s in temporal_specs]}); use "
+            "config declares temporal/curation features "
+            f"({[s.feature_name for s in lifted]}); use "
             "compile_pipeline, which applies DataFrame-level lifts in "
             "declaration order"
         )
@@ -705,6 +774,51 @@ def _apply_temporal(
     raise NotImplementedError(f"_apply_temporal: unhandled {t!r}")
 
 
+def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
+    """One curation spec entry -> one DataFrame transform. Scalar metrics
+    append a named column (adjacent projections collapse in Catalyst);
+    lang_id_trigram applies its broadcast-join lift; filter applies a
+    WHERE over everything declared so far."""
+    t, p = s.feature_type, s.params
+    col_name = p.get("column", "text")
+    if t == "filter":
+        return df.where(F.expr(p["predicate"]))
+    if t == "lang_id_trigram":
+        from featuregenerator_spark.functions.lang_trigram import (
+            with_lang_id_trigram,
+        )
+
+        return with_lang_id_trigram(
+            df, p["id_column"], text_col=col_name, out=s.feature_name
+        )
+    if t == "quality_rule":
+        from featuregenerator_spark.operators.quality_rules import (
+            quality_rule_columns,
+        )
+
+        expr = quality_rule_columns(F.col(col_name))[p["metric"]]
+    elif t == "c4_clean":
+        from featuregenerator_spark.operators.text_clean import c4_clean_columns
+
+        expr = c4_clean_columns(F.col(col_name))[p["metric"]]
+    elif t == "pii_scrub":
+        from featuregenerator_spark.operators.text_clean import pii_scrub_columns
+
+        expr = pii_scrub_columns(F.col(col_name))[p["metric"]]
+    elif t == "text_metric":
+        from featuregenerator_spark.operators import text_analysis as ta
+
+        fn = {
+            "token_count": ta.token_count,
+            "quality_score": ta.quality_score,
+            "fingerprint": ta.rolling_fingerprint,
+        }[p["metric"]]
+        expr = fn(F.col(col_name))
+    else:
+        raise NotImplementedError(f"_apply_curation: unhandled {t!r}")
+    return df.withColumn(s.feature_name, expr)
+
+
 def compile_pipeline(
     config: str | dict,
     df: DataFrame,
@@ -723,6 +837,8 @@ def compile_pipeline(
     for s in specs:
         if s.feature_type in _TEMPORAL_TYPES:
             df = _apply_temporal(s, df, tables)
+        elif s.feature_type in _CURATION_TYPES:
+            df = _apply_curation(s, df)
         else:
             df = df.withColumn(s.feature_name, compile_spec(s, df))
     return df

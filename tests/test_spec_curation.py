@@ -1,0 +1,111 @@
+"""Declarative curation configs: vocab pins, validation, compiled runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featuregenerator_spark import spec as specmod
+from featuregenerator_spark.spec import compile_config, compile_pipeline, parse_config
+
+
+def test_metric_vocabs_pinned_to_operator_columns(spark):
+    """The parse-time metric vocab must equal the actual operator dicts —
+    if an operator gains/renames a metric, this pin fails first."""
+    from featuregenerator_spark.operators.quality_rules import (
+        quality_rule_columns,
+    )
+    from featuregenerator_spark.operators.text_clean import (
+        c4_clean_columns,
+        pii_scrub_columns,
+    )
+
+    assert tuple(quality_rule_columns(F.lit("x"))) == specmod._QUALITY_METRICS
+    assert tuple(c4_clean_columns(F.lit("x"))) == specmod._C4_METRICS
+    assert tuple(pii_scrub_columns(F.lit("x"))) == specmod._PII_METRICS
+
+
+def test_parse_validates_metric_vocab():
+    with pytest.raises(ValueError, match="metric must be one of"):
+        parse_config(
+            {"features": [{"feature_type": "quality_rule",
+                           "feature_name": "x", "metric": "nope"}]}
+        )
+    with pytest.raises(ValueError, match="requires 'predicate'"):
+        parse_config(
+            {"features": [{"feature_type": "filter", "feature_name": "f"}]}
+        )
+    with pytest.raises(ValueError, match="requires 'id_column'"):
+        parse_config(
+            {"features": [{"feature_type": "lang_id_trigram",
+                           "feature_name": "lang"}]}
+        )
+
+
+def test_compile_config_rejects_curation_entries(spark):
+    df = spark.createDataFrame([(1, "t.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="compile_pipeline"):
+        compile_config(
+            {"features": [{"feature_type": "pii_scrub",
+                           "feature_name": "s", "metric": "n_email"}]},
+            df,
+        )
+
+
+def test_compiled_curation_pipeline(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "keep me please today.\nme too thanks a lot.\nthird good line here."),
+            (1, "no punct so dropped\nalso me\nx."),
+        ],
+        "doc_id long, text string",
+    )
+    config = {
+        "features": [
+            {"feature_type": "c4_clean", "feature_name": "kept",
+             "metric": "n_kept_lines"},
+            {"feature_type": "c4_clean", "feature_name": "keep_doc",
+             "metric": "keep_doc"},
+            {"feature_type": "text_metric", "feature_name": "n_tok",
+             "metric": "token_count"},
+            {"feature_type": "derive", "feature_name": "ok",
+             "expression": "keep_doc AND n_tok > 5"},
+            {"feature_type": "filter", "feature_name": "only_ok",
+             "predicate": "ok"},
+        ]
+    }
+    rows = compile_pipeline(config, df).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["kept"] == 3 and rows[0]["keep_doc"] is True
+
+
+def test_compiled_pii_and_quality_metrics(spark):
+    df = spark.createDataFrame(
+        [(7, "ping a@b.io and the cat sat")], "doc_id long, text string"
+    )
+    config = {
+        "features": [
+            {"feature_type": "pii_scrub", "feature_name": "emails",
+             "metric": "n_email"},
+            {"feature_type": "pii_scrub", "feature_name": "clean",
+             "metric": "scrubbed_text"},
+            {"feature_type": "quality_rule", "feature_name": "stops",
+             "metric": "stopword_hits"},
+        ]
+    }
+    r = compile_pipeline(config, df).collect()[0]
+    assert r["emails"] == 1
+    assert r["clean"] == "ping <EMAIL> and the cat sat"
+    assert r["stops"] == 2  # 'and', 'the'
+
+
+def test_compiled_lang_id_trigram(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    config = {
+        "features": [
+            {"feature_type": "lang_id_trigram", "feature_name": "lang",
+             "id_column": "doc_id"},
+        ]
+    }
+    assert compile_pipeline(config, df).collect()[0]["lang"] == "en"
