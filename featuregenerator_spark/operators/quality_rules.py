@@ -67,16 +67,32 @@ def _lines(text: Column) -> Column:
 
 
 def quality_rule_columns(text: Column) -> dict[str, Column]:
-    """The per-doc scalar rule metrics as named Columns (pure exprs)."""
+    """The per-doc scalar rule metrics as named Columns (pure exprs).
+
+    Word-level counts use single-pass regexp_count forms instead of
+    split-array higher-order functions where the two are provably equal
+    (n_words: ``\\S+`` runs == non-empty whitespace-split tokens; word
+    chars: non-whitespace chars == sum of split-token lengths; alpha
+    words: a ``\\S*[A-Za-z]\\S*`` match consumes exactly one whitespace-
+    token containing a letter) — each measured ~2x cheaper than its
+    split-array form over 500k docs (0.5-0.6 s vs 1.0-1.3 s per
+    metric), and the DuckDB oracles keep the list forms so the gate
+    proves the equivalence. One trap verified while measuring: a
+    regexp_count of a single-char NEGATED class ('[^A-Za-z0-9 ]') is
+    ~8x slower than the whole alternation scan — count such classes
+    with length(translate(...)) instead (see token_count). The words
+    ARRAY is built only for stopword membership,
+    where a per-token set probe has no single-regex equal (a boundary
+    pattern would also match punctuation-adjacent tokens)."""
     words = _words(text)
     lines = _lines(text)
-    n_words = F.size(words).cast("long")
+    n_words = F.regexp_count(text, F.lit(r"\S+")).cast("long")
     n_lines = F.size(lines).cast("long")
     nw = n_words.cast("double")
     nl = n_lines.cast("double")
 
-    total_word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    total_word_chars = (
+        F.length(text) - F.regexp_count(text, F.lit(r"\s"))
     ).cast("double")
     mean_word_len = F.when(n_words > 0, total_word_chars / nw).otherwise(0.0)
 
@@ -90,7 +106,7 @@ def quality_rule_columns(text: Column) -> dict[str, Column]:
         n_words > 0, (n_hash + n_ell3 + n_ell1).cast("double") / nw
     ).otherwise(0.0)
 
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_words = F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*"))
     alpha_word_frac = F.when(
         n_words > 0, alpha_words.cast("double") / nw
     ).otherwise(0.0)
@@ -166,10 +182,37 @@ def quality_rule_columns(text: Column) -> dict[str, Column]:
     }
 
 
+def passes_gopher_from_metrics() -> Column:
+    """The composite pass flag over ALREADY-COMPUTED metric columns (by
+    their canonical names). Used by with_quality_rules so the flag
+    reuses the metric projection instead of re-evaluating all ten
+    expressions inside one tree — each metric is referenced twice
+    (output + flag), which keeps Catalyst's CollapseProject from
+    inlining the non-cheap exprs back in (measured over 500k docs:
+    single-projection metrics+inline-flag 3.7 s vs this form 2.6 s)."""
+    return (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+    )
+
+
 def with_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append every scalar rule metric + the composite pass flag."""
+    """Append every scalar rule metric + the composite pass flag (the
+    flag computed from the metric columns — see
+    :func:`passes_gopher_from_metrics`)."""
     cols = quality_rule_columns(F.col(text_col))
-    return df.select("*", *[c.alias(n) for n, c in cols.items()])
+    metrics = {n: c for n, c in cols.items() if n != "passes_gopher"}
+    out = df.select("*", *[c.alias(n) for n, c in metrics.items()])
+    return out.withColumn("passes_gopher", passes_gopher_from_metrics())
 
 
 def top_ngram_char_fraction(
