@@ -2588,7 +2588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position.
     qs = {
         # --- never driver-checked before round 3 ---
-        "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -2641,6 +2640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
+        # token_count's physical form changed in r4 (regexp_count +
+        # translate replaces the alternation extract_all) -> re-enters
+        # the window; displaces raw_multivalue_pad (r03-green, unchanged)
+        "token_count_regex": q_token_count_regex,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2685,7 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "topk_docs_per_lang": q_topk_docs_per_lang,
-        "token_count_regex": q_token_count_regex,
+        "raw_multivalue_pad": q_raw_multivalue_pad,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
