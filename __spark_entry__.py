@@ -662,6 +662,24 @@ def q_neardup_ngram_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.8)
 
 
+def q_substring_dup_coverage(spark, sf_dir):
+    """Exact substring-duplicate coverage (Lee et al. 2022 ExactSubstr,
+    relational form): every 8-token window hashed once, duplicated
+    windows found with one map-side-combined groupBy, per-doc coverage
+    via an interval-union window sweep over ONLY the duplicated
+    windows. Spark groups xxhash64(window) longs; the DuckDB oracle
+    groups the window strings — the gate proves the hash grouping
+    equals string grouping on this corpus (same collision argument as
+    the Jaccard-on-hashes queries). k=8 because the synthetic docs are
+    ~50 tokens; the paper's web-scale k is 50."""
+    from featuregenerator_spark.operators.substring_dedup import (
+        substring_dup_coverage,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_dup_coverage(docs, k=8)
+
+
 def q_dedup_connected_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: exact-Jaccard edges ->
     iterative min-label propagation -> (doc, component). Oracle = DuckDB
@@ -2588,7 +2606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position.
     qs = {
         # --- never driver-checked before round 3 ---
-        "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
@@ -2644,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # translate replaces the alternation extract_all) -> re-enters
         # the window; displaces raw_multivalue_pad (r03-green, unchanged)
         "token_count_regex": q_token_count_regex,
+        # new in r4 session 4; displaces lookup_combo_counts (r03-green)
+        "substring_dup_coverage": q_substring_dup_coverage,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2689,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "raw_multivalue_pad": q_raw_multivalue_pad,
+        "lookup_combo_counts": q_lookup_combo_counts,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
@@ -2947,6 +2967,42 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""",
+        "substring_dup_coverage": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            w AS (
+              SELECT doc_id, i - 1 AS start,
+                     array_to_string(list_slice(toks, i, i + 8 - 1), ' ') AS sh
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 8 + 1, 0)))
+                   AS u(i)),
+            dup AS (SELECT sh FROM w GROUP BY sh HAVING count(*) >= 2),
+            dw AS (SELECT w.doc_id, w.start FROM w JOIN dup USING (sh)),
+            sweep AS (
+              SELECT doc_id, start,
+                     CASE WHEN start > coalesce(max(start + 8) OVER (
+                         PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) - 1
+                     THEN 1 ELSE 0 END AS new_grp
+              FROM dw),
+            grp AS (
+              SELECT doc_id, start,
+                     sum(new_grp) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM sweep),
+            cov AS (
+              SELECT doc_id, sum(cnt) AS dup_windows, sum(mx - mn) AS covered
+              FROM (SELECT doc_id, g, count(*) AS cnt, min(start) AS mn,
+                           max(start) + 8 AS mx
+                    FROM grp GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cov.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+                   round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                         / len(t.toks), 4) AS dup_token_frac
+            FROM t LEFT JOIN cov USING (doc_id)""",
         "neardup_token_jaccard": """
             WITH t AS (
               SELECT doc_id, lang,
