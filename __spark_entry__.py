@@ -680,6 +680,22 @@ def q_substring_dup_coverage(spark, sf_dir):
     return substring_dup_coverage(docs, k=8)
 
 
+def q_substring_dup_trim(spark, sf_dir):
+    """The remediation half of ExactSubstr dedup: cut duplicated spans,
+    keeping each duplicated window's corpus-wide canonical (first by
+    (doc_id, start)) occurrence. Canonical selection is min(struct)
+    inside the same map-side-combinable groupBy(hash) that counts
+    occurrences — no row_number over a possibly-hot hash partition —
+    and the text rebuild is an indexed-lambda array filter against the
+    doc's merged cut intervals (pure codegen, no Python). The DuckDB
+    oracle makes the same canonical choice via row_number and rebuilds
+    with DuckDB's 1-based indexed list lambdas."""
+    from featuregenerator_spark.operators.substring_dedup import trim_dup_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return trim_dup_spans(docs, k=8)
+
+
 def q_dedup_connected_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: exact-Jaccard edges ->
     iterative min-label propagation -> (doc, component). Oracle = DuckDB
@@ -2606,7 +2622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position.
     qs = {
         # --- never driver-checked before round 3 ---
-        "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
         "normalizer_minmax": q_normalizer_minmax,
@@ -2661,8 +2676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # translate replaces the alternation extract_all) -> re-enters
         # the window; displaces raw_multivalue_pad (r03-green, unchanged)
         "token_count_regex": q_token_count_regex,
-        # new in r4 session 4; displaces lookup_combo_counts (r03-green)
+        # new in r4 session 4; displace lookup_combo_counts and
+        # preclick_match_words (both r03-green, unchanged)
         "substring_dup_coverage": q_substring_dup_coverage,
+        "substring_dup_trim": q_substring_dup_trim,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2709,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
+        "preclick_match_words": q_preclick_match_words,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
@@ -3003,6 +3021,50 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
                          / len(t.toks), 4) AS dup_token_frac
             FROM t LEFT JOIN cov USING (doc_id)""",
+        "substring_dup_trim": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            w AS (
+              SELECT doc_id, i - 1 AS start,
+                     array_to_string(list_slice(toks, i, i + 8 - 1), ' ') AS sh
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 8 + 1, 0)))
+                   AS u(i)),
+            d AS (
+              SELECT doc_id, start,
+                     row_number() OVER (PARTITION BY sh
+                         ORDER BY doc_id, start) AS rn,
+                     count(*) OVER (PARTITION BY sh) AS occ
+              FROM w),
+            cuts AS (SELECT doc_id, start FROM d WHERE occ >= 2 AND rn >= 2),
+            sweep AS (
+              SELECT doc_id, start,
+                     CASE WHEN start > coalesce(max(start + 8) OVER (
+                         PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) - 1
+                     THEN 1 ELSE 0 END AS new_grp
+              FROM cuts),
+            grp AS (
+              SELECT doc_id, start,
+                     sum(new_grp) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM sweep),
+            iv AS (
+              SELECT doc_id,
+                     list(struct_pack(mn := mn, mx := mx)) AS cut_list,
+                     sum(mx - mn) AS removed
+              FROM (SELECT doc_id, g, min(start) AS mn, max(start) + 8 AS mx
+                    FROM grp GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(iv.removed, 0) AS BIGINT) AS n_removed_tokens,
+                   coalesce(array_to_string(
+                       list_filter(t.toks, (x, i) ->
+                           len(list_filter(coalesce(iv.cut_list, []),
+                               c -> (i - 1) >= c.mn AND (i - 1) < c.mx)) = 0),
+                       ' '), '') AS text_clean
+            FROM t LEFT JOIN iv USING (doc_id)""",
         "neardup_token_jaccard": """
             WITH t AS (
               SELECT doc_id, lang,

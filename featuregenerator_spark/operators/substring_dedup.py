@@ -78,6 +78,36 @@ def window_hashes(
     )
 
 
+def merged_intervals(
+    occurrences: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Union the [start, start+k) intervals per document.
+
+    Input: (id, start) rows. Output: one row per merged interval group
+    with ``cnt`` (windows merged), ``mn``/``mx`` (token span). Classic
+    sweep: running max of interval end -> a new group wherever the next
+    start clears it -> cumulative-sum group ids. Partitions only over
+    the rows given (callers pass *duplicated* windows, a small subset),
+    all whole-stage codegen.
+    """
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + k).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = occurrences.withColumn(
+        "new_grp",
+        F.when(F.col("start") > F.coalesce(prev_end, F.lit(-1)) - 1, 1).otherwise(0),
+    ).withColumn(
+        "g",
+        F.sum("new_grp").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grouped.groupBy(id_col, "g").agg(
+        F.count("*").alias("cnt"),
+        F.min("start").alias("mn"),
+        (F.max("start") + k).alias("mx"),
+    )
+
+
 def substring_dup_coverage(
     df: DataFrame,
     k: int = 8,
@@ -110,27 +140,8 @@ def substring_dup_coverage(
     )
     dup_wins = wins.join(dup_h, "h").select(id_col, "start")
 
-    # Interval-union sweep over [start, start+k) per document.
-    w_doc = Window.partitionBy(id_col).orderBy("start")
-    prev_end = F.max(F.col("start") + k).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    grouped = dup_wins.withColumn(
-        "new_grp",
-        F.when(F.col("start") > F.coalesce(prev_end, F.lit(-1)) - 1, 1).otherwise(0),
-    ).withColumn(
-        "g",
-        F.sum("new_grp").over(
-            w_doc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
     cov = (
-        grouped.groupBy(id_col, "g")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("start").alias("mn"),
-            (F.max("start") + k).alias("mx"),
-        )
+        merged_intervals(dup_wins, k, id_col=id_col)
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("dup_windows"),
@@ -152,4 +163,84 @@ def substring_dup_coverage(
         F.round(covered.cast("double") / F.col("n_tokens"), 4).alias(
             "dup_token_frac"
         ),
+    )
+
+
+def trim_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = MIN_OCCURRENCES,
+) -> DataFrame:
+    """Cut duplicated spans, keeping each duplicated window's canonical
+    occurrence (the remediation half; ``substring_dup_coverage`` is the
+    report).
+
+    Semantics: for every k-token window occurring >= min_occurrences
+    times corpus-wide, the lexicographically-first occurrence by
+    (id, start) is CANONICAL and stays; every other occurrence is a cut
+    interval [start, start+k). Cut intervals are unioned per document
+    and the covered tokens removed. One copy of each duplicated k-gram
+    therefore survives — except where a canonical window is itself
+    overlapped by a different window's non-canonical occurrence, the
+    same boundary caveat as the suffix-array original.
+
+    Scale notes: canonical selection is ``min(struct(id, start))``
+    inside the SAME groupBy(hash) aggregate that counts occurrences —
+    map-side combinable, so a boilerplate window occurring 10^9 times
+    costs one partial row per partition, never a row_number over a hot
+    hash partition. The rebuild is a per-row indexed-lambda filter over
+    the token array against the doc's merged cut list (collect_list of
+    few merged intervals) — no Python, no second pass over text.
+
+    Output: (id, n_tokens, n_removed_tokens, text_clean) — text_clean
+    is the surviving tokens re-joined with single spaces.
+    """
+    wins = window_hashes(df, k, text_col=text_col, id_col=id_col)
+
+    dup_h = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("canon"),
+        )
+        .filter(F.col("occ") >= min_occurrences)
+        .select("h", "canon")
+    )
+    cuts = (
+        wins.join(dup_h, "h")
+        .filter(
+            ~(
+                (F.col("canon")[id_col] == F.col(id_col))
+                & (F.col("canon")["start"] == F.col("start"))
+            )
+        )
+        .select(id_col, "start")
+    )
+    cut_list = (
+        merged_intervals(cuts, k, id_col=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("mn"), F.col("mx"))).alias("cuts"),
+            F.sum(F.col("mx") - F.col("mn")).alias("removed"),
+        )
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    out = df.select(id_col, text_col).join(cut_list, id_col, "left")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("cuts"), F.array().cast("array<struct<mn:int,mx:int>>")),
+            lambda c: (i >= c["mn"]) & (i < c["mx"]),
+        ),
+    )
+    return out.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+        F.concat_ws(" ", kept).alias("text_clean"),
     )

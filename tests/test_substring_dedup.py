@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from featuregenerator_spark.operators.substring_dedup import (
     substring_dup_coverage,
+    trim_dup_spans,
     window_hashes,
 )
 
@@ -101,6 +102,53 @@ def test_min_occurrences_threshold(spark):
     at3 = _by_id(substring_dup_coverage(docs, k=4, min_occurrences=3))
     assert at2[1]["dup_windows"] == 1 and at2[2]["dup_windows"] == 1
     assert at3[1]["dup_windows"] == 0 and at3[2]["dup_windows"] == 0
+
+
+def test_trim_keeps_canonical_occurrence(spark):
+    # Window "a b c d" occurs in docs 1, 2 and twice in doc 4. Canonical
+    # = (1, 0): doc 1 keeps everything (its other windows are unique);
+    # doc 2 (an exact subset of doc 1's prefix) is trimmed to empty;
+    # doc 4 loses both copies, keeping only the separator token.
+    rows = [
+        (1, "a b c d e f g h i j x y"),
+        (2, "a b c d e f g h i j"),
+        (3, "p q r s t u v w k l"),
+        (4, "a b c d z a b c d"),
+    ]
+    out = _by_id(trim_dup_spans(_docs(spark, rows), k=4))
+    assert out[1]["text_clean"] == "a b c d e f g h i j x y"
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["text_clean"] == ""
+    assert out[2]["n_removed_tokens"] == 10
+    assert out[3]["text_clean"] == "p q r s t u v w k l"
+    assert out[4]["text_clean"] == "z"
+    assert out[4]["n_removed_tokens"] == 8
+
+
+def test_trim_within_doc_keeps_first_copy(spark):
+    # Alone in the corpus, a self-repeating doc keeps its FIRST copy:
+    # canonical for "a b c d" is (1, 0), so only [5, 9) is cut.
+    rows = [(1, "a b c d z a b c d")]
+    out = _by_id(trim_dup_spans(_docs(spark, rows), k=4))
+    assert out[1]["text_clean"] == "a b c d z"
+    assert out[1]["n_removed_tokens"] == 4
+    assert out[1]["n_tokens"] == 9
+
+
+def test_trim_removed_counts_match_coverage_of_noncanonical(spark):
+    # n_tokens - n_removed == len(split(text_clean)) for every doc
+    # (the interval arithmetic and the indexed-lambda rebuild agree).
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 9}" for j in range(25)))
+        for i in range(30)
+    ]
+    out = trim_dup_spans(_docs(spark, rows), k=5)
+    bad = out.filter(
+        F.size(F.split("text_clean", " "))
+        - F.when(F.col("text_clean") == "", 1).otherwise(0)
+        != F.col("n_tokens") - F.col("n_removed_tokens")
+    )
+    assert bad.count() == 0
 
 
 def test_hash_grouping_equals_string_grouping(spark):
