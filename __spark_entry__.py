@@ -696,6 +696,37 @@ def q_substring_dup_trim(spark, sf_dir):
     return trim_dup_spans(docs, k=8)
 
 
+def q_config_compiled_dedup(spark, sf_dir):
+    """The declarative contract over the substring-dedup stage: one JSON
+    config declares the coverage report, the canonical-keeping trim, and
+    a row filter dropping documents that are mostly duplicated text —
+    compile_pipeline applies them in declaration order. The 0.99
+    threshold fires both branches at sf0.01 (the planted near-dup docs
+    reach frac 1.0, the rest sit near 0). Oracle = the two operators'
+    oracle texts composed as CTEs over shared window CTEs, same WHERE."""
+    from featuregenerator_spark.spec import compile_pipeline
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    config = {
+        "features": [
+            {"feature_type": "substring_dup", "feature_name": "subdup",
+             "k": 8, "id_column": "doc_id"},
+            {"feature_type": "substring_trim", "feature_name": "text_clean",
+             "k": 8, "id_column": "doc_id"},
+            {"feature_type": "filter", "feature_name": "mostly_unique",
+             "predicate": "subdup_frac < 0.99"},
+        ]
+    }
+    out = compile_pipeline(config, docs)
+    return out.select(
+        "doc_id",
+        "subdup_windows",
+        "subdup_frac",
+        "text_clean",
+        "text_clean_removed",
+    )
+
+
 def q_dedup_connected_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: exact-Jaccard edges ->
     iterative min-label propagation -> (doc, component). Oracle = DuckDB
@@ -2622,7 +2653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position.
     qs = {
         # --- never driver-checked before round 3 ---
-        "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
         "normalizer_minmax": q_normalizer_minmax,
         "overlap_divided": q_overlap_divided,
@@ -2680,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # preclick_match_words (both r03-green, unchanged)
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
+        # declarative substring-dedup; displaces lookup_v1_weighting
+        "config_compiled_dedup": q_config_compiled_dedup,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2727,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
+        "lookup_v1_weighting": q_lookup_v1_weighting,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
@@ -3021,6 +3054,77 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
                          / len(t.toks), 4) AS dup_token_frac
             FROM t LEFT JOIN cov USING (doc_id)""",
+        "config_compiled_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            w AS (
+              SELECT doc_id, i - 1 AS start,
+                     array_to_string(list_slice(toks, i, i + 8 - 1), ' ') AS sh
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 8 + 1, 0)))
+                   AS u(i)),
+            dup AS (SELECT sh FROM w GROUP BY sh HAVING count(*) >= 2),
+            dwc AS (SELECT w.doc_id, w.start FROM w JOIN dup USING (sh)),
+            sweepc AS (
+              SELECT doc_id, start,
+                     CASE WHEN start > coalesce(max(start + 8) OVER (
+                         PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) - 1
+                     THEN 1 ELSE 0 END AS new_grp
+              FROM dwc),
+            grpc AS (
+              SELECT doc_id, start,
+                     sum(new_grp) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM sweepc),
+            cov AS (
+              SELECT doc_id, sum(cnt) AS dup_windows, sum(mx - mn) AS covered
+              FROM (SELECT doc_id, g, count(*) AS cnt, min(start) AS mn,
+                           max(start) + 8 AS mx
+                    FROM grpc GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            d AS (
+              SELECT doc_id, start,
+                     row_number() OVER (PARTITION BY sh
+                         ORDER BY doc_id, start) AS rn,
+                     count(*) OVER (PARTITION BY sh) AS occ
+              FROM w),
+            cuts AS (SELECT doc_id, start FROM d WHERE occ >= 2 AND rn >= 2),
+            sweep AS (
+              SELECT doc_id, start,
+                     CASE WHEN start > coalesce(max(start + 8) OVER (
+                         PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         -1) - 1
+                     THEN 1 ELSE 0 END AS new_grp
+              FROM cuts),
+            grp AS (
+              SELECT doc_id, start,
+                     sum(new_grp) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM sweep),
+            iv AS (
+              SELECT doc_id,
+                     list(struct_pack(mn := mn, mx := mx)) AS cut_list,
+                     sum(mx - mn) AS removed
+              FROM (SELECT doc_id, g, min(start) AS mn, max(start) + 8 AS mx
+                    FROM grp GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(cov.dup_windows, 0) AS BIGINT)
+                     AS subdup_windows,
+                   round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                         / len(t.toks), 4) AS subdup_frac,
+                   coalesce(array_to_string(
+                       list_filter(t.toks, (x, i) ->
+                           len(list_filter(coalesce(iv.cut_list, []),
+                               c -> (i - 1) >= c.mn AND (i - 1) < c.mx)) = 0),
+                       ' '), '') AS text_clean,
+                   CAST(coalesce(iv.removed, 0) AS BIGINT)
+                     AS text_clean_removed
+            FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN iv USING (doc_id)
+            WHERE round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                        / len(t.toks), 4) < 0.99""",
         "substring_dup_trim": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -115,6 +115,11 @@ _CURATION_TYPES = {
     "text_metric",
     "lang_id_trigram",
     "filter",
+    # corpus-level dedup lifts (operators/substring_dedup.py): unlike the
+    # per-row metrics these shuffle (window-hash groupBy + join back),
+    # declared in the same config and applied in declaration order
+    "substring_dup",
+    "substring_trim",
 }
 
 # metric vocabularies validated at parse time; pinned against the actual
@@ -144,6 +149,8 @@ _CURATION_REQUIRED = {
     "text_metric": ("metric",),
     "lang_id_trigram": ("id_column",),
     "filter": ("predicate",),
+    "substring_dup": ("k", "id_column"),
+    "substring_trim": ("k", "id_column"),
 }
 _CURATION_METRIC_VOCAB = {
     "quality_rule": _QUALITY_METRICS,
@@ -207,6 +214,11 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                     f"{name}: {ftype} metric must be one of {vocab}, "
                     f"got {params['metric']!r}"
                 )
+            if ftype in ("substring_dup", "substring_trim"):
+                if int(params["k"]) < 2:
+                    raise ValueError(f"{name}: k must be >= 2")
+                if int(params.get("min_occurrences", 2)) < 2:
+                    raise ValueError(f"{name}: min_occurrences must be >= 2")
             specs.append(FeatureSpec(ftype, name, params))
             continue
         if ftype in _TEMPORAL_TYPES:
@@ -791,6 +803,42 @@ def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
         return with_lang_id_trigram(
             df, p["id_column"], text_col=col_name, out=s.feature_name
         )
+    if t == "substring_dup":
+        from featuregenerator_spark.operators.substring_dedup import (
+            substring_dup_coverage,
+        )
+
+        id_col = p["id_column"]
+        cov = substring_dup_coverage(
+            df.select(id_col, col_name),
+            k=int(p["k"]),
+            text_col=col_name,
+            id_col=id_col,
+            min_occurrences=int(p.get("min_occurrences", 2)),
+        ).select(
+            F.col(id_col),
+            F.col("dup_windows").alias(f"{s.feature_name}_windows"),
+            F.col("dup_token_frac").alias(f"{s.feature_name}_frac"),
+        )
+        return df.join(cov, id_col, "left")
+    if t == "substring_trim":
+        from featuregenerator_spark.operators.substring_dedup import (
+            trim_dup_spans,
+        )
+
+        id_col = p["id_column"]
+        trimmed = trim_dup_spans(
+            df.select(id_col, col_name),
+            k=int(p["k"]),
+            text_col=col_name,
+            id_col=id_col,
+            min_occurrences=int(p.get("min_occurrences", 2)),
+        ).select(
+            F.col(id_col),
+            F.col("text_clean").alias(s.feature_name),
+            F.col("n_removed_tokens").alias(f"{s.feature_name}_removed"),
+        )
+        return df.join(trimmed, id_col, "left")
     if t == "quality_rule":
         from featuregenerator_spark.operators.quality_rules import (
             quality_rule_columns,

@@ -109,3 +109,77 @@ def test_compiled_lang_id_trigram(spark):
         ]
     }
     assert compile_pipeline(config, df).collect()[0]["lang"] == "en"
+
+
+def test_parse_validates_substring_dedup():
+    with pytest.raises(ValueError, match="requires 'k'"):
+        parse_config(
+            {"features": [{"feature_type": "substring_dup",
+                           "feature_name": "s", "id_column": "doc_id"}]}
+        )
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        parse_config(
+            {"features": [{"feature_type": "substring_trim",
+                           "feature_name": "s", "k": 1,
+                           "id_column": "doc_id"}]}
+        )
+    with pytest.raises(ValueError, match="min_occurrences must be >= 2"):
+        parse_config(
+            {"features": [{"feature_type": "substring_dup",
+                           "feature_name": "s", "k": 4,
+                           "id_column": "doc_id", "min_occurrences": 1}]}
+        )
+
+
+def test_compiled_substring_dedup_matches_operators(spark):
+    """The declared lifts must equal direct operator calls column-for-
+    column (declaration adds naming, never semantics)."""
+    from featuregenerator_spark.operators.substring_dedup import (
+        substring_dup_coverage,
+        trim_dup_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j x y"),
+        (2, "a b c d e f g h i j"),
+        (3, "p q r s t u v w k l"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    config = {
+        "features": [
+            {"feature_type": "substring_dup", "feature_name": "sd",
+             "k": 4, "id_column": "doc_id"},
+            {"feature_type": "substring_trim", "feature_name": "clean",
+             "k": 4, "id_column": "doc_id"},
+        ]
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in compile_pipeline(config, df).collect()
+    }
+    cov = {r["doc_id"]: r.asDict() for r in substring_dup_coverage(df, k=4).collect()}
+    trm = {r["doc_id"]: r.asDict() for r in trim_dup_spans(df, k=4).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["sd_windows"] == cov[i]["dup_windows"]
+        assert got[i]["sd_frac"] == cov[i]["dup_token_frac"]
+        assert got[i]["clean"] == trm[i]["text_clean"]
+        assert got[i]["clean_removed"] == trm[i]["n_removed_tokens"]
+
+
+def test_compiled_substring_filter_applies_in_order(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "p q r s t u v w k l"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    config = {
+        "features": [
+            {"feature_type": "substring_dup", "feature_name": "sd",
+             "k": 4, "id_column": "doc_id"},
+            {"feature_type": "filter", "feature_name": "uniq",
+             "predicate": "sd_frac < 0.5"},
+        ]
+    }
+    kept = sorted(r["doc_id"] for r in compile_pipeline(config, df).collect())
+    assert kept == [3]
