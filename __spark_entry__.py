@@ -676,7 +676,10 @@ def q_substring_dup_coverage(spark, sf_dir):
         substring_dup_coverage,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # single-file test input scans as ONE partition; spread the explode
+    # stage (cluster scans arrive pre-partitioned and skip this cost)
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     return substring_dup_coverage(docs, k=8)
 
 
@@ -692,7 +695,8 @@ def q_substring_dup_trim(spark, sf_dir):
     with DuckDB's 1-based indexed list lambdas."""
     from featuregenerator_spark.operators.substring_dedup import trim_dup_spans
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     return trim_dup_spans(docs, k=8)
 
 
@@ -706,7 +710,8 @@ def q_config_compiled_dedup(spark, sf_dir):
     oracle texts composed as CTEs over shared window CTEs, same WHERE."""
     from featuregenerator_spark.spec import compile_pipeline
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     config = {
         "features": [
             {"feature_type": "substring_dup", "feature_name": "subdup",

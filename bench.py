@@ -280,6 +280,7 @@ def main() -> None:
     skew_ratio = skew_mega_speedup = None
     skew_mega: dict[str, float] = {}
     incremental: dict[str, float] = {}
+    substring: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -320,6 +321,21 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             incremental[name] = round(best, 3)
 
+        # substring-dedup legs (round 4): the ExactSubstr report + trim
+        # over the full documents table, non-headline like the other
+        # post-r2 families. One window-hash explode feeds both; trim
+        # additionally pays the canonical min(struct) agg and the
+        # indexed-lambda rebuild.
+        for name in ("substring_dup_coverage", "substring_dup_trim"):
+            df = qmap[name](spark, SF_DIR)
+            _noop(df)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _noop(df)
+                best = min(best, time.time() - t0)
+            substring[name] = round(best, 3)
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -340,6 +356,7 @@ def main() -> None:
                 "skew_mega": skew_mega,
                 "skew_mega_chunked_speedup": skew_mega_speedup,
                 "dedup_incremental": incremental,
+                "substring_dedup": substring,
                 "curation": curation,
             }
         )
