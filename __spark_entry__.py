@@ -700,6 +700,32 @@ def q_substring_dup_trim(spark, sf_dir):
     return trim_dup_spans(docs, k=8)
 
 
+def q_quality_model_score(spark, sf_dir):
+    """Model-based quality filter (CCNet/fastText-classifier shape): a
+    linear bag-of-words model with mean pooling, executed as ONE literal
+    -map aggregate HOF — no shuffle, whole-stage codegen. Weights are
+    the deterministic DEMO_WEIGHTS fixture (production loads a trained
+    checkpoint as a table); the DuckDB oracle computes the same model
+    relationally (unnest + VALUES join + group-sum) from the SAME dict,
+    so the gate also proves the map-literal and relational forms equal
+    — the large-vocab broadcast-join twin is pinned equal in tests."""
+    from featuregenerator_spark.operators.quality_model import (
+        DEMO_BIAS,
+        DEMO_WEIGHTS,
+        linear_score_columns,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cols = linear_score_columns(F.col("text"), DEMO_WEIGHTS, DEMO_BIAS)
+    prob = cols["quality_prob"]
+    return docs.select(
+        "doc_id",
+        F.round(cols["quality_score"], 6).alias("quality_score"),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).cast("int").alias("keep"),
+    )
+
+
 def q_config_compiled_dedup(spark, sf_dir):
     """The declarative contract over the substring-dedup stage: one JSON
     config declares the coverage report, the canonical-keeping trim, and
@@ -2658,7 +2684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position.
     qs = {
         # --- never driver-checked before round 3 ---
-        "normalizer_log10": q_normalizer_log10,
         "normalizer_minmax": q_normalizer_minmax,
         "overlap_divided": q_overlap_divided,
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
@@ -2717,6 +2742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_trim": q_substring_dup_trim,
         # declarative substring-dedup; displaces lookup_v1_weighting
         "config_compiled_dedup": q_config_compiled_dedup,
+        # model-based quality filter; displaces normalizer_log10
+        "quality_model_score": q_quality_model_score,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2765,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
+        "normalizer_log10": q_normalizer_log10,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
@@ -2804,9 +2832,29 @@ END"""
 
 def oracle_sql() -> dict[str, str]:
     from featuregenerator_spark.functions import lang_trigram
+    from featuregenerator_spark.operators.quality_model import (
+        DEMO_BIAS,
+        DEMO_WEIGHTS,
+        weights_values_sql,
+    )
 
     gap = "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     sql = {
+        "quality_model_score": f"""
+            WITH v(token, weight) AS {weights_values_sql(DEMO_WEIGHTS)},
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+            s AS (SELECT doc_id,
+                         ({DEMO_BIAS} + sum(coalesce(v.weight, 0.0)) / n)
+                           AS score
+                  FROM e LEFT JOIN v ON e.tok = v.token
+                  GROUP BY doc_id, n)
+            SELECT doc_id,
+                   round(score, 6) AS quality_score,
+                   round(1.0 / (1.0 + exp(-score)), 6) AS quality_prob,
+                   CAST(1.0 / (1.0 + exp(-score)) >= 0.5 AS INTEGER) AS keep
+            FROM s""",
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
