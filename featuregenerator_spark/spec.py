@@ -120,6 +120,9 @@ _CURATION_TYPES = {
     # declared in the same config and applied in declaration order
     "substring_dup",
     "substring_trim",
+    # model-based quality scoring (operators/quality_model.py): the JSON
+    # carries the weight table itself — a checkpoint IS config
+    "quality_model",
 }
 
 # metric vocabularies validated at parse time; pinned against the actual
@@ -151,6 +154,7 @@ _CURATION_REQUIRED = {
     "filter": ("predicate",),
     "substring_dup": ("k", "id_column"),
     "substring_trim": ("k", "id_column"),
+    "quality_model": ("weights",),
 }
 _CURATION_METRIC_VOCAB = {
     "quality_rule": _QUALITY_METRICS,
@@ -219,6 +223,15 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                     raise ValueError(f"{name}: k must be >= 2")
                 if int(params.get("min_occurrences", 2)) < 2:
                     raise ValueError(f"{name}: min_occurrences must be >= 2")
+            if ftype == "quality_model":
+                w = params["weights"]
+                if not isinstance(w, dict) or not w:
+                    raise ValueError(f"{name}: weights must be a non-empty dict")
+                bad = [t for t, v in w.items() if not isinstance(v, (int, float))]
+                if bad:
+                    raise ValueError(f"{name}: non-numeric weight for {bad[:3]}")
+                if params.get("metric", "prob") not in ("prob", "score"):
+                    raise ValueError(f"{name}: metric must be prob or score")
             specs.append(FeatureSpec(ftype, name, params))
             continue
         if ftype in _TEMPORAL_TYPES:
@@ -839,6 +852,18 @@ def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
             F.col("n_removed_tokens").alias(f"{s.feature_name}_removed"),
         )
         return df.join(trimmed, id_col, "left")
+    if t == "quality_model":
+        from featuregenerator_spark.operators.quality_model import (
+            linear_score_columns,
+        )
+
+        cols = linear_score_columns(
+            F.col(col_name),
+            {str(k): float(v) for k, v in p["weights"].items()},
+            float(p.get("bias", 0.0)),
+        )
+        key = "quality_prob" if p.get("metric", "prob") == "prob" else "quality_score"
+        return df.withColumn(s.feature_name, cols[key])
     if t == "quality_rule":
         from featuregenerator_spark.operators.quality_rules import (
             quality_rule_columns,

@@ -183,3 +183,65 @@ def test_compiled_substring_filter_applies_in_order(spark):
     }
     kept = sorted(r["doc_id"] for r in compile_pipeline(config, df).collect())
     assert kept == [3]
+
+
+def test_parse_validates_quality_model():
+    with pytest.raises(ValueError, match="requires 'weights'"):
+        parse_config(
+            {"features": [{"feature_type": "quality_model",
+                           "feature_name": "q"}]}
+        )
+    with pytest.raises(ValueError, match="non-empty dict"):
+        parse_config(
+            {"features": [{"feature_type": "quality_model",
+                           "feature_name": "q", "weights": {}}]}
+        )
+    with pytest.raises(ValueError, match="non-numeric weight"):
+        parse_config(
+            {"features": [{"feature_type": "quality_model",
+                           "feature_name": "q", "weights": {"the": "hi"}}]}
+        )
+    with pytest.raises(ValueError, match="metric must be prob or score"):
+        parse_config(
+            {"features": [{"feature_type": "quality_model",
+                           "feature_name": "q", "weights": {"the": 1.0},
+                           "metric": "logit"}]}
+        )
+
+
+def test_compiled_quality_model_matches_operator(spark):
+    from featuregenerator_spark.operators.quality_model import (
+        DEMO_BIAS,
+        DEMO_WEIGHTS,
+        linear_score_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the fast data"), (2, "slow hash scan"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    config = {
+        "features": [
+            {"feature_type": "quality_model", "feature_name": "prob",
+             "weights": DEMO_WEIGHTS, "bias": DEMO_BIAS},
+            {"feature_type": "quality_model", "feature_name": "logit",
+             "weights": DEMO_WEIGHTS, "bias": DEMO_BIAS, "metric": "score"},
+            {"feature_type": "filter", "feature_name": "good",
+             "predicate": "prob >= 0.5"},
+        ]
+    }
+    got = {r["doc_id"]: r.asDict() for r in compile_pipeline(config, df).collect()}
+    cols = linear_score_columns(F.col("text"), DEMO_WEIGHTS, DEMO_BIAS)
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            cols["quality_prob"].alias("p"),
+            cols["quality_score"].alias("s"),
+        ).collect()
+        if r["p"] >= 0.5
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k]["prob"] == pytest.approx(exp[k]["p"], abs=1e-12)
+        assert got[k]["logit"] == pytest.approx(exp[k]["s"], abs=1e-12)
