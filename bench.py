@@ -184,7 +184,8 @@ def run_curation(spark, cores: int) -> dict[str, float]:
     """Curation-battery throughput (non-headline): the SF documents table
     replicated 100x with a deterministic id remap, pseudo-lines derived,
     then the WHOLE battery — all 11 Gopher rule metrics, C4 cleaning,
-    PII counts, token count — in ONE select of pure Column exprs. This
+    PII counts, token count, the linear model prob — in ONE select of
+    pure Column exprs. This
     is the scan-speed claim made measurable: docs/s through ~40 string/
     array HOF features at once. The 5k-row base is repartitioned BEFORE
     the 100x broadcast cross join so only ~5 MB shuffles and the battery
@@ -193,6 +194,11 @@ def run_curation(spark, cores: int) -> dict[str, float]:
 
     from featuregenerator_spark.operators.quality_rules import (
         quality_rule_columns,
+    )
+    from featuregenerator_spark.operators.quality_model import (
+        DEMO_BIAS,
+        DEMO_WEIGHTS,
+        linear_score_columns,
     )
     from featuregenerator_spark.operators.text_analysis import token_count
     from featuregenerator_spark.operators.text_clean import (
@@ -225,6 +231,9 @@ def run_curation(spark, cores: int) -> dict[str, float]:
         c4["keep_doc"].alias("c4_keep_doc"),
         pii["n_email"].alias("pii_emails"),
         token_count(F.col("text")).alias("n_tokens"),
+        linear_score_columns(F.col("text"), DEMO_WEIGHTS, DEMO_BIAS)[
+            "quality_prob"
+        ].alias("model_prob"),
     )
     _noop(out)  # JIT warmup, same as every other entry
     best = float("inf")
