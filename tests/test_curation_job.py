@@ -1,0 +1,77 @@
+"""The curation spark-submit entry: runs a declared pipeline, resumes."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.curation_job import main
+from featuregenerator_spark.operators.quality_model import DEMO_BIAS, DEMO_WEIGHTS
+from featuregenerator_spark.plans import lineage
+
+CONFIG = {
+    "features": [
+        {"feature_type": "text_metric", "feature_name": "n_tok",
+         "metric": "token_count"},
+        {"feature_type": "quality_model", "feature_name": "prob",
+         "weights": DEMO_WEIGHTS, "bias": DEMO_BIAS},
+        {"feature_type": "substring_trim", "feature_name": "clean",
+         "k": 4, "id_column": "doc_id"},
+        {"feature_type": "filter", "feature_name": "keep",
+         "predicate": "prob >= 0.3 AND n_tok >= 3"},
+    ]
+}
+
+
+def _write_docs(spark, path, with_ds):
+    rows = []
+    for i in range(40):
+        ds = f"2026-01-0{1 + i % 2}"
+        text = "the a of and data " + " ".join(f"w{i}x{j}" for j in range(6))
+        if i % 10 == 0:
+            text = "the a of and data shared dup span here ok"  # cross-doc dups
+        rows.append((i, text, ds))
+    df = spark.createDataFrame(rows, "doc_id long, text string, ds string")
+    if with_ds:
+        df.write.partitionBy("ds").mode("overwrite").parquet(path)
+    else:
+        df.drop("ds").write.mode("overwrite").parquet(path)
+
+
+def test_curation_job_runs_filters_and_resumes(spark, tmp_path, capsys):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "curated")
+    _write_docs(spark, inp, with_ds=True)
+    cfg = tmp_path / "curation.json"
+    cfg.write_text(json.dumps(CONFIG))
+
+    assert main(["--input", inp, "--output", out, "--config", str(cfg)]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["committed_units"] == 2  # one per ds
+    assert 0 < stats["total_rows"] <= 40
+
+    res = lineage.read_committed(spark, out)
+    # declared columns exist; the filter was applied
+    assert {"n_tok", "prob", "clean", "clean_removed"} <= set(res.columns)
+    assert res.filter(F.col("prob") < 0.3).count() == 0
+    # the trimmed dup docs lost their shared span (canonical survives)
+    trimmed = res.filter(F.col("clean_removed") > 0)
+    assert trimmed.count() >= 2
+
+    # resume: nothing new on a second run
+    assert main(["--input", inp, "--output", out, "--config", str(cfg)]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["new_units"] == 0
+    assert stats2["committed_units"] == 2
+
+
+def test_curation_job_single_unit_without_ds(spark, tmp_path, capsys):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "curated")
+    _write_docs(spark, inp, with_ds=False)
+    cfg = tmp_path / "curation.json"
+    cfg.write_text(json.dumps(CONFIG))
+    assert main(
+        ["--input", inp, "--output", out, "--config", str(cfg),
+         "--repartition", "4"]
+    ) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["committed_units"] == 1
+    assert set(lineage.committed_partitions(out)) == {"all"}
