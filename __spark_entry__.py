@@ -1502,6 +1502,24 @@ def q_neardup_cosine(spark, sf_dir):
     ).filter(F.col("cos_sim") >= 0.3)
 
 
+def q_dedup_cc_cosine(spark, sf_dir):
+    """Semantic dedup clustering (SemDeDup-adjacent): connected
+    components over the embedding-cosine near-dup edges — the third
+    edge type through the same pointer-jumping CC (token-Jaccard and
+    LSH-candidate edges are the other two). Oracle = DuckDB recursive
+    CTE min-reachable over the identical edge set (the cosine edge
+    definition is itself the gate-checked neardup_cosine query)."""
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components,
+    )
+
+    edges = q_neardup_cosine(spark, sf_dir)
+    comp = connected_components(edges, "vec_a", "vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component")
+    )
+
+
 def q_streaming_snapshot_parity(spark, sf_dir):
     """Structured Streaming end-to-end as a DRIVER-CHECKED query: the
     events table rides through readStream -> applyInPandasWithState
@@ -2685,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         # --- never driver-checked before round 3 ---
         "normalizer_minmax": q_normalizer_minmax,
-        "overlap_divided": q_overlap_divided,
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
@@ -2744,6 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_compiled_dedup": q_config_compiled_dedup,
         # model-based quality filter; displaces normalizer_log10
         "quality_model_score": q_quality_model_score,
+        # CC over cosine edges (third edge type); displaces overlap_divided
+        "dedup_cc_cosine": q_dedup_cc_cosine,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- stable queries keeping driver coverage this round ---
@@ -2793,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
         "normalizer_log10": q_normalizer_log10,
+        "overlap_divided": q_overlap_divided,
         "match_multihit": q_match_multihit,
         "match_cos": q_match_cos,
         "combo_multivalue": q_combo_multivalue,
@@ -3316,6 +3336,23 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
             FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3""",
+        "dedup_cc_cosine": """
+            WITH RECURSIVE
+            t AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+            edg AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.3),
+            sym AS (SELECT u, v FROM edg UNION SELECT v AS u, u AS v FROM edg),
+            reach AS (
+                SELECT u AS node, v AS r FROM sym
+              UNION
+                SELECT reach.node, sym.v AS r
+                FROM reach JOIN sym ON reach.r = sym.u
+            )
+            SELECT node AS vec_id, least(node, min(r)) AS component
+            FROM reach GROUP BY node""",
         "session_stats": f"""
             WITH s AS (
               SELECT user_id, value, epoch(ts) AS tsec,
