@@ -726,6 +726,23 @@ def q_quality_model_score(spark, sf_dir):
     )
 
 
+def q_quality_lm_perplexity(spark, sf_dir):
+    """LM-perplexity quality filter (the CCNet stage itself, next to its
+    classifier twin above): a bigram add-one LM trained RELATIONALLY on
+    the deterministic doc_id-even half of the corpus, scoring every doc
+    by mean bigram NLL, with the CCNet head/middle/tail tertile assigned
+    by percent_rank over the ROUNDED score (rounding first makes ties
+    exact, so both engines rank identically). Count tables are
+    vocab-sized with map-side combine; join keys are xxhash64 longs
+    (the oracle groups the strings — the usual collision-argument gate).
+    The 3.42 keep bound sits mid-distribution so both branches fire."""
+    from featuregenerator_spark.operators.lm_perplexity import perplexity_filter
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    return perplexity_filter(docs)
+
+
 def q_config_compiled_dedup(spark, sf_dir):
     """The declarative contract over the substring-dedup stage: one JSON
     config declares the coverage report, the canonical-keeping trim, and
@@ -2701,8 +2718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02 to the tail. Every query keeps local oracle coverage via
     # tools/check_oracle.py regardless of position.
     qs = {
+        # --- added in round 4 session 6: LM-perplexity quality filter;
+        # --- displaces normalizer_minmax (r03-green, unchanged) ---
+        "quality_lm_perplexity": q_quality_lm_perplexity,
         # --- never driver-checked before round 3 ---
-        "normalizer_minmax": q_normalizer_minmax,
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
@@ -2808,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "raw_multivalue_pad": q_raw_multivalue_pad,
+        "normalizer_minmax": q_normalizer_minmax,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -2875,6 +2895,39 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS quality_prob,
                    CAST(1.0 / (1.0 + exp(-score)) >= 0.5 AS INTEGER) AS keep
             FROM s""",
+        "quality_lm_perplexity": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+            uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cu
+                    FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+            bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+                   FROM (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM
+                         (SELECT toks,
+                                 unnest(generate_series(1, len(toks)-1)) AS i
+                          FROM tr)) GROUP BY w1, w2),
+            v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
+            bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM
+                   (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks)-1)) AS i
+                    FROM t)),
+            s AS (SELECT doc_id, count(*) AS n_bigrams,
+                         round(avg(-ln((coalesce(cb, 0) + 1.0)
+                               / (coalesce(cu, 0) + v.v_size))), 4) AS lp
+                  FROM bg LEFT JOIN bi USING (w1, w2)
+                          LEFT JOIN uni ON bg.w1 = uni.tok, v
+                  GROUP BY doc_id),
+            b AS (SELECT doc_id, n_bigrams, lp,
+                         percent_rank() OVER (ORDER BY lp) AS pr FROM s)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   lp AS lm_logppl,
+                   CASE WHEN lp IS NULL THEN NULL
+                        WHEN pr <= 1.0/3.0 THEN 'head'
+                        WHEN pr <= 2.0/3.0 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket,
+                   CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
+            FROM documents d LEFT JOIN b USING (doc_id)""",
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
