@@ -743,6 +743,36 @@ def q_quality_lm_perplexity(spark, sf_dir):
     return perplexity_filter(docs)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Exact paragraph dedup (MassiveText's middle granularity, between
+    whole-document and k-token-substring): remove every paragraph whose
+    exact text occurred earlier in the corpus under (doc_id, idx) order,
+    keeping the corpus-wide first occurrence. The synthetic docs are
+    single-line, so the query derives deterministic paragraphs (newline
+    every 8th word, same regex both engines) and appends a shared
+    boilerplate paragraph to every 5th doc so the cross-document strike
+    fires on a hot key; the corpus's planted dup/near-dup docs make
+    whole runs of shared paragraphs. Canonical selection is a
+    min(struct) AGGREGATE (map-side combinable — no per-key sorted
+    window even for million-fold boilerplate); the oracle uses the
+    row_number form over paragraph STRINGS, so the gate also proves
+    agg-canonical == window-canonical and hash == string grouping."""
+    from featuregenerator_spark.operators.paragraph_dedup import dedup_paragraphs
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    ).repartition(par, "doc_id")
+    return dedup_paragraphs(docs)
+
+
 def q_config_compiled_dedup(spark, sf_dir):
     """The declarative contract over the substring-dedup stage: one JSON
     config declares the coverage report, the canonical-keeping trim, and
@@ -2721,8 +2751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: LM-perplexity quality filter;
         # --- displaces normalizer_minmax (r03-green, unchanged) ---
         "quality_lm_perplexity": q_quality_lm_perplexity,
+        # --- added in round 4 session 6: paragraph-granularity dedup;
+        # --- displaces kgb_grouped_bytes (r03-green, unchanged) ---
+        "paragraph_dedup": q_paragraph_dedup,
         # --- never driver-checked before round 3 ---
-        "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
         "simhash_neardup": q_simhash_neardup,
@@ -2828,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "normalizer_minmax": q_normalizer_minmax,
+        "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -3251,6 +3284,43 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN iv USING (doc_id)
             WHERE round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
                         / len(t.toks), 4) < 0.99""",
+        "paragraph_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                    '\1' || chr(10), 'g')
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN chr(10) || 'subscribe to our newsletter for updates'
+                        ELSE '' END AS text
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> x <> '') AS parts
+              FROM d
+            ), p AS (
+              SELECT doc_id, i - 1 AS idx, parts[i] AS para
+              FROM sp, UNNEST(generate_series(1, len(parts))) AS u(i)
+            ), r AS (
+              SELECT doc_id, idx, para,
+                     row_number() OVER (PARTITION BY para
+                         ORDER BY doc_id, idx) AS rn
+              FROM p
+            ), per AS (
+              SELECT doc_id, count(*) AS n_p,
+                     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_d,
+                     coalesce(array_to_string(
+                         list(para ORDER BY idx) FILTER (WHERE rn = 1),
+                         chr(10)), '') AS ct
+              FROM r GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_p, 0) AS BIGINT) AS n_paragraphs,
+                   CAST(coalesce(n_d, 0) AS BIGINT) AS n_dup_paragraphs,
+                   round(coalesce(CAST(n_d AS DOUBLE) / n_p, 0.0), 4)
+                     AS dup_para_frac,
+                   coalesce(ct, '') AS clean_text
+            FROM d LEFT JOIN per USING (doc_id)""",
         "substring_dup_trim": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
