@@ -147,6 +147,36 @@ def q_rolling_count_1h_chunked(spark, sf_dir):
     return out.filter(~F.col(HALO)).select("event_id", "prior_cnt_1h")
 
 
+def q_rolling_count_bucketed(spark, sf_dir):
+    """The SAME rolling count evaluated over a BUCKETED layout of the
+    events table (sources/bucketed.py): bucketBy(user_id) + sortBy
+    persists the shuffle into storage, so the window's
+    ClusteredDistribution(user_id) is satisfied by the scan itself and
+    the plan holds ZERO Exchange (pinned in tests/test_bucketed.py) —
+    the ingest-once / reuse-every-run layout for 100-TB nightly
+    pipelines, vs. the flagship's already-minimal one Exchange. The
+    DuckDB oracle is the STANDARD query's SQL verbatim, so the gate
+    proves layout changes nothing about values."""
+    from featuregenerator_spark.plans import temporal
+    from featuregenerator_spark.sources.bucketed import sanitized, stage_bucketed_table
+
+    tag = sanitized(os.path.basename(os.path.normpath(sf_dir)))
+    bt = stage_bucketed_table(
+        spark,
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+        table=f"fg_bucketed_events_{tag}",
+        path=f"/tmp/fg_bucketed/{tag}/events",
+        buckets=8,
+        key="user_id",
+        sort_cols=["user_id", "ts", "event_id"],
+    )
+    ev = bt.withColumn("ts_sec", F.col("ts").cast("timestamp").cast("double"))
+    out = temporal.with_rolling_count(
+        ev, 3600.0, "prior_cnt_1h", conv="user_id", include_current=False
+    )
+    return out.select("event_id", "prior_cnt_1h")
+
+
 def q_sessionize_30m_chunked(spark, sf_dir):
     """Skew-parallel sessionization: the prefix-dependent session index
     restored by the two-pass chunk-offset scheme (plans/skew.py), checked
@@ -2754,8 +2784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: paragraph-granularity dedup;
         # --- displaces kgb_grouped_bytes (r03-green, unchanged) ---
         "paragraph_dedup": q_paragraph_dedup,
+        # --- added in round 4 session 6: zero-Exchange bucketed layout;
+        # --- displaces kgb_hit_ret_combo (r03-green, unchanged) ---
+        "rolling_count_bucketed": q_rolling_count_bucketed,
         # --- never driver-checked before round 3 ---
-        "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
         "simhash_neardup": q_simhash_neardup,
         "normalizer_bound_regular": q_normalizer_bound_regular,
@@ -2861,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_multivalue_pad": q_raw_multivalue_pad,
         "normalizer_minmax": q_normalizer_minmax,
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
+        "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -4148,6 +4181,8 @@ def oracle_sql() -> dict[str, str]:
     # component minima), so its oracle is the full-CC SQL verbatim — the
     # gate itself proves incremental == full.
     sql["dedup_cc_incremental"] = sql["dedup_connected_components"]
+    # bucketed layout changes the physical plan, never the values
+    sql["rolling_count_bucketed"] = sql["rolling_count_1h"]
     # config_compiled_temporal: the FOUR standard window oracles composed
     # verbatim as CTEs — the gate itself proves the JSON-declared pipeline
     # (spec.compile_pipeline) equals the hand-built queries.
