@@ -803,6 +803,20 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(docs)
 
 
+def q_source_mix_sample(spark, sf_dir):
+    """Deterministic source-mix resampling (the Pile/Gopher/DoReMi
+    mixture stage): per-source rates produce floor(r) guaranteed copies
+    plus one more iff an md5-hex draw beats a precomputed threshold —
+    no RNG, so retries/re-runs/other clusters keep EXACTLY the same
+    documents. DEMO_RATES exercises upsample-with-fraction (2.5),
+    pass-through (1.0), downsample (0.25), full drop (0.0), and the
+    0.6 default. Map-only narrow plan, zero shuffles; the oracle
+    derives its thresholds from the SAME dict via rates_values_sql."""
+    from featuregenerator_spark.operators.sampling import source_mix_sample
+
+    return source_mix_sample(_docs(spark, sf_dir))
+
+
 def q_config_compiled_dedup(spark, sf_dir):
     """The declarative contract over the substring-dedup stage: one JSON
     config declares the coverage report, the canonical-keeping trim, and
@@ -2787,8 +2801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: zero-Exchange bucketed layout;
         # --- displaces kgb_hit_ret_combo (r03-green, unchanged) ---
         "rolling_count_bucketed": q_rolling_count_bucketed,
+        # --- added in round 4 session 6: mixture resampling; displaces
+        # --- lookup_gap_max_kernel (r03-green, unchanged) ---
+        "source_mix_sample": q_source_mix_sample,
         # --- never driver-checked before round 3 ---
-        "lookup_gap_max_kernel": q_lookup_gap_max,
         "simhash_neardup": q_simhash_neardup,
         "normalizer_bound_regular": q_normalizer_bound_regular,
         "match_weighting": q_match_weighting,
@@ -2894,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalizer_minmax": q_normalizer_minmax,
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
+        "lookup_gap_max_kernel": q_lookup_gap_max,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -2934,6 +2951,26 @@ CASE
   WHEN ({g}) < 43200 THEN 7
   ELSE 8
 END"""
+
+
+def _source_mix_oracle() -> str:
+    from featuregenerator_spark.operators.sampling import (
+        DEMO_DEFAULT_RATE,
+        rates_values_sql,
+        split_rate,
+    )
+
+    dbase, dthresh = split_rate(DEMO_DEFAULT_RATE)
+    return f"""
+        WITH r(source, base, thresh) AS {rates_values_sql()},
+        d AS (SELECT doc_id, documents.source AS source,
+                     coalesce(base, {dbase}) +
+                     CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8) < coalesce(thresh, '{dthresh}')
+                          THEN 1 ELSE 0 END AS copies
+              FROM documents LEFT JOIN r USING (source))
+        SELECT doc_id, source, CAST(u.i AS INTEGER) AS copy_idx
+        FROM d, UNNEST(generate_series(1, copies)) AS u(i)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3317,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN iv USING (doc_id)
             WHERE round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
                         / len(t.toks), 4) < 0.99""",
+        "source_mix_sample": _source_mix_oracle(),
         "paragraph_dedup": r"""
             WITH d AS (
               SELECT doc_id,

@@ -1,0 +1,138 @@
+"""Deterministic source-mix resampling — the data-mixture stage.
+
+Training-data recipes weight corpus sources (The Pile's per-set epochs,
+Gopher/MassiveText's mixture table, DoReMi's learned domain weights —
+all public work): source A contributes at rate 2.5 (every doc appears
+2-3 times), source B at 0.25 (1 doc in 4 survives). This module is
+that stage with NO RNG anywhere:
+
+* the fractional decision for a document is a lexicographic compare of
+  the first 8 hex chars of md5("mix:" || doc_id) against a per-source
+  threshold string precomputed from the rate (md5 hex is uniform over
+  16^32, so ``u8 < hex(frac * 16^8)`` keeps exactly a ``frac``
+  fraction in expectation, deterministically per document);
+* rate r produces floor(r) guaranteed copies plus one more iff the
+  md5 draw passes — upsampling and downsampling are the same rule.
+
+Deterministic sampling is resumable sampling: a re-run, a retried
+partition, or a different cluster keeps EXACTLY the same documents, so
+lineage stays exact under failure (Spark's per-partition rng would
+resample on task retry unless seeded per row anyway). md5 (not
+xxhash64) is the draw because the DuckDB oracle computes the identical
+hex string — the whole stage, thresholds included, is gate-checked
+end to end.
+
+Scale shape: pure Column expressions — a map-only narrow plan, zero
+shuffles; the explode that materializes copies is the only row
+amplification and it streams. Rates ship as two literal maps
+(source -> floor copies, source -> threshold); thousands of sources
+fit a plan literal, and past that the same rule broadcast-joins a
+rates table (the quality_model large-vocab twin pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Demo mixture used by the driver query: exercises integer upsample +
+# fractional draw (2.5), pass-through (1.0), downsample (0.25), full
+# drop (0.0), and the default rate for unlisted sources.
+DEMO_RATES: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 1.0,
+    "src2": 0.25,
+    "src3": 0.0,
+}
+DEMO_DEFAULT_RATE = 0.6
+
+_SALT = "mix:"
+
+
+def split_rate(rate: float) -> tuple[int, str]:
+    """rate -> (guaranteed copies, 8-hex-char threshold for one more)."""
+    if rate < 0:
+        raise ValueError(f"negative sampling rate: {rate}")
+    base = int(math.floor(rate))
+    frac = rate - base
+    return base, format(int(round(frac * 16**8)), "08x")
+
+
+def _draw(key: Column) -> Column:
+    """Uniform 8-hex-char draw, identical in Spark and DuckDB."""
+    return F.substring(
+        F.md5(F.encode(F.concat(F.lit(_SALT), key.cast("string")), "UTF-8")),
+        1,
+        8,
+    )
+
+
+def copies_column(
+    key: Column,
+    source: Column,
+    rates: dict[str, float],
+    default_rate: float,
+) -> Column:
+    """Number of output copies for a row, as a literal-map expression."""
+    dbase, dthresh = split_rate(default_rate)
+    if not rates:
+        # create_map() with no entries is VOID-typed; the default rate
+        # applies to every source directly
+        return F.lit(dbase) + (_draw(key) < F.lit(dthresh)).cast("int")
+    base_map = F.create_map(
+        *[
+            F.lit(x)
+            for s, r in sorted(rates.items())
+            for x in (s, split_rate(r)[0])
+        ]
+    )
+    thresh_map = F.create_map(
+        *[
+            F.lit(x)
+            for s, r in sorted(rates.items())
+            for x in (s, split_rate(r)[1])
+        ]
+    )
+    base = F.coalesce(base_map[source], F.lit(dbase))
+    thresh = F.coalesce(thresh_map[source], F.lit(dthresh))
+    return base + (_draw(key) < thresh).cast("int")
+
+
+def source_mix_sample(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = DEMO_DEFAULT_RATE,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """One output row per kept copy: (id, source, copy_idx 1..copies)."""
+    if rates is None:
+        rates = DEMO_RATES
+    copies = copies_column(
+        F.col(id_col), F.col(source_col), rates, default_rate
+    )
+    # sequence(1, 0) would DESCEND; emit no rows for dropped docs instead
+    idxs = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(idxs).alias("copy_idx"),
+    )
+
+
+def rates_values_sql(
+    rates: dict[str, float] | None = None,
+) -> str:
+    """The mixture as a SQL VALUES list (source, base, thresh) so the
+    DuckDB oracle derives its thresholds from the SAME dict."""
+    if rates is None:
+        rates = DEMO_RATES
+    rows = ", ".join(
+        f"('{s}', {split_rate(r)[0]}, '{split_rate(r)[1]}')"
+        for s, r in sorted(rates.items())
+    )
+    return f"(VALUES {rows})"

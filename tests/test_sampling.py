@@ -1,0 +1,64 @@
+"""Pins for deterministic source-mix resampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.operators.sampling import (
+    source_mix_sample,
+    split_rate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(2000)], "doc_id long, source string"
+    )
+
+
+def test_split_rate():
+    assert split_rate(2.5) == (2, "80000000")
+    assert split_rate(1.0) == (1, "00000000")
+    assert split_rate(0.0) == (0, "00000000")
+    assert split_rate(0.25) == (0, "40000000")
+    with pytest.raises(ValueError):
+        split_rate(-0.1)
+
+
+def test_integer_rates_are_exact(spark, corpus):
+    out = source_mix_sample(corpus, {"s0": 3.0, "s1": 1.0}, default_rate=0.0)
+    rows = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert rows["s0"] == 500 * 3
+    assert rows["s1"] == 500
+    assert "s2" not in rows and "s3" not in rows
+    # copy_idx enumerates 1..copies
+    idx = out.filter("source = 's0' and doc_id = 0").select("copy_idx").collect()
+    assert sorted(r["copy_idx"] for r in idx) == [1, 2, 3]
+
+
+def test_fractional_rate_hits_band_and_is_deterministic(spark, corpus):
+    out = source_mix_sample(corpus, {}, default_rate=0.5)
+    n1 = out.count()
+    n2 = source_mix_sample(corpus, {}, default_rate=0.5).count()
+    assert n1 == n2  # same documents on every run, not just same count
+    assert 0.45 * 2000 <= n1 <= 0.55 * 2000
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(tuple, source_mix_sample(corpus, {}, default_rate=0.5).collect())
+    )
+    assert a == b
+
+
+def test_upsample_fraction_band(spark, corpus):
+    out = source_mix_sample(corpus, {"s0": 2.5}, default_rate=0.0)
+    n = out.count()  # 500 docs * (2 or 3 copies)
+    assert 500 * 2 <= n <= 500 * 3
+    assert abs(n - 1250) <= 0.05 * 2500
+    per_doc = out.groupBy("doc_id").count().select("count").distinct().collect()
+    assert {r["count"] for r in per_doc} <= {2, 3}
+
+
+def test_map_only_plan(spark, corpus):
+    plan = source_mix_sample(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
