@@ -1681,6 +1681,33 @@ def q_streaming_sessionize_parity(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_parity(spark, sf_dir):
+    """The incremental-ingest dedup decision run as a REAL stream:
+    today's batch (doc_id % 10 == 0) arrives via readStream and
+    stream-static-joins the static corpus (stateless — corpus state
+    never accumulates in the engine); each arriving doc emits its best
+    corpus match. The DuckDB oracle is q_dedup_incremental's SQL
+    VERBATIM, so the gate itself proves the streaming path computes
+    the identical dedup decisions as the batch path — the
+    continuous-ingest upgrade of the daily job."""
+    from featuregenerator_spark.streaming.stream_features import (
+        incremental_dedup_stream,
+        read_document_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_document_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    new_docs = stream.filter(F.col("doc_id") % 10 == 0)
+    corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 0)
+    out = incremental_dedup_stream(new_docs, corpus)
+    name = "dedup_inc_stream_parity"
+    spark.catalog.dropTempView(name)
+    run_stream_to_memory(out, name, "complete")
+    return spark.table(name).select("doc_id", "match_id", "jaccard")
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Streaming tumbling-window aggregation as a DRIVER-CHECKED query:
     events ride through readStream -> F.window('1 hour') groupBy ->
@@ -2804,9 +2831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: mixture resampling; displaces
         # --- lookup_gap_max_kernel (r03-green, unchanged) ---
         "source_mix_sample": q_source_mix_sample,
+        # --- added in round 4 session 6: stream-static ingest dedup;
+        # --- displaces normalizer_bound_regular (r03-green, unchanged) ---
+        "streaming_dedup_parity": q_streaming_dedup_parity,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
-        "normalizer_bound_regular": q_normalizer_bound_regular,
         "match_weighting": q_match_weighting,
         "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
@@ -2911,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgb_grouped_bytes": q_kgb_grouped_bytes,
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
+        "normalizer_bound_regular": q_normalizer_bound_regular,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -4221,6 +4251,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_cc_incremental"] = sql["dedup_connected_components"]
     # bucketed layout changes the physical plan, never the values
     sql["rolling_count_bucketed"] = sql["rolling_count_1h"]
+    # the streaming ingest path must equal the batch daily-ingest path
+    sql["streaming_dedup_parity"] = sql["dedup_incremental"]
     # config_compiled_temporal: the FOUR standard window oracles composed
     # verbatim as CTEs — the gate itself proves the JSON-declared pipeline
     # (spec.compile_pipeline) equals the hand-built queries.

@@ -150,34 +150,120 @@ EVENT_STATE_DDL = "n_events long, last_ts double"
 EVENT_OUT_DDL = "event_id long, n_prior_events long, gap_seconds double"
 
 
-def read_event_stream(
-    spark, path: str, max_files_per_trigger: int = 16
-) -> DataFrame:
+def _stage_single_file(path: str) -> str:
+    """FileStreamSource streams DIRECTORIES; the driver's test tables
+    are single files, so stage a copy under a DETERMINISTIC temp dir
+    keyed by (path, mtime, size) — reused across calls in the same
+    round instead of leaking one mkdtemp per invocation, and
+    invalidated automatically when the input file changes."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    if os.path.isfile(path):
-        # FileStreamSource streams DIRECTORIES; the driver's test tables
-        # are single files, so stage a copy under a DETERMINISTIC temp dir
-        # keyed by (path, mtime, size) — reused across calls in the same
-        # round instead of leaking one mkdtemp per invocation, and
-        # invalidated automatically when the input file changes
-        st = os.stat(path)
-        sig = hashlib.sha256(
-            f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
-        ).hexdigest()[:12]
-        staged = os.path.join(tempfile.gettempdir(), f"fg_stream_src_{sig}")
-        staged_file = os.path.join(staged, os.path.basename(path))
-        if not os.path.isfile(staged_file):
-            os.makedirs(staged, exist_ok=True)
-            shutil.copy(path, staged_file)
-        path = staged
+    if not os.path.isfile(path):
+        return path
+    st = os.stat(path)
+    sig = hashlib.sha256(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"fg_stream_src_{sig}")
+    staged_file = os.path.join(staged, os.path.basename(path))
+    if not os.path.isfile(staged_file):
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(path, staged_file)
+    return staged
+
+
+def read_event_stream(
+    spark, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+        .parquet(_stage_single_file(path))
+    )
+
+
+DOCS_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_document_stream(
+    spark, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_stage_single_file(path))
+    )
+
+
+def _hashed_tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, lang, th, n): xxhash64 token-set columns — the same
+    fixed-width-long Jaccard representation the batch dedup family uses
+    (pure Column exprs, so it applies to streams unchanged)."""
+    toks = F.array_distinct(F.split("text", " "))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    ).withColumn("n", F.size("th"))
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """The daily-ingest dedup decision as a STREAM: arriving documents
+    (a streaming DataFrame) join the static corpus — stream-static
+    joins are stateless, so corpus state never accumulates in the
+    engine — and each new doc emits its best corpus match (highest
+    exact token Jaccard >= threshold, ties to the smallest corpus id,
+    mirroring the batch q_dedup_incremental exactly: round-then-max_by
+    on the same struct). The final per-doc aggregate runs in COMPLETE
+    output mode (a bounded parity source never advances a watermark).
+
+    Scale: identical join shape to the batch incremental path —
+    |batch| x |corpus|/lang with the lossless size-ratio prune, never
+    corpus x corpus; the LSH band-equijoin swap-in applies unchanged
+    (band tables are pure Column exprs too)."""
+    a = _hashed_tokens(new_docs)
+    b = _hashed_tokens(corpus).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("lang").alias("lb"),
+        F.col("th").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lb"))
+        # lossless prune: jac >= t requires min(|A|,|B|) >= t * max
+        & (
+            F.least(F.col("n"), F.col("nb"))
+            >= F.lit(threshold) * F.greatest(F.col("n"), F.col("nb"))
+        ),
+    )
+    inter = F.size(F.array_intersect("th", "hb")).cast("double")
+    jac = inter / (F.col("n") + F.col("nb") - inter)
+    matches = (
+        pairs.withColumn("__jac", jac)
+        .filter(F.col("__jac") >= threshold)
+        .select("doc_id", "match_id", F.round("__jac", 4).alias("jaccard"))
+    )
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("match_id", "jaccard"),
+                F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nm")),
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.match_id").alias("match_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
     )
 
 
