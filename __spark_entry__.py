@@ -817,6 +817,43 @@ def q_source_mix_sample(spark, sf_dir):
     return source_mix_sample(_docs(spark, sf_dir))
 
 
+def q_config_compiled_mix(spark, sf_dir):
+    """The declarative contract over the session-6 curation stages: one
+    JSON document declares LM-perplexity scoring (train split itself a
+    declarative predicate), paragraph dedup, a fluency row filter, and
+    the deterministic source-mix resample — compile_pipeline applies
+    them in declaration order (dedup sees the full corpus because it is
+    declared BEFORE the filter; the mixture amplifies only surviving
+    rows). Oracle = the two operators' oracle logic composed as CTEs
+    plus the mix explode, derived from the SAME rates dict."""
+    from featuregenerator_spark.operators.sampling import (
+        DEMO_DEFAULT_RATE,
+        DEMO_RATES,
+    )
+    from featuregenerator_spark.spec import compile_pipeline
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).repartition(par, "doc_id")
+    config = {
+        "features": [
+            {"feature_type": "lm_perplexity", "feature_name": "ppl",
+             "id_column": "doc_id"},
+            {"feature_type": "paragraph_dedup", "feature_name": "text_nodup",
+             "id_column": "doc_id"},
+            {"feature_type": "filter", "feature_name": "keep_fluent",
+             "predicate": "ppl_keep = 1"},
+            {"feature_type": "source_mix", "feature_name": "copy_idx",
+             "id_column": "doc_id", "source_column": "source",
+             "rates": DEMO_RATES, "default_rate": DEMO_DEFAULT_RATE},
+        ]
+    }
+    out = compile_pipeline(config, docs)
+    return out.select(
+        "doc_id", "source", "ppl", "ppl_bucket", "ppl_keep", "text_nodup",
+        F.col("text_nodup_dup_frac").alias("nodup_frac"), "copy_idx",
+    )
+
+
 def q_config_compiled_dedup(spark, sf_dir):
     """The declarative contract over the substring-dedup stage: one JSON
     config declares the coverage report, the canonical-keeping trim, and
@@ -2834,9 +2871,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: stream-static ingest dedup;
         # --- displaces normalizer_bound_regular (r03-green, unchanged) ---
         "streaming_dedup_parity": q_streaming_dedup_parity,
+        # --- added in round 4 session 6: declarative mix/dedup/ppl
+        # --- pipeline; displaces match_weighting (r03-green, unchanged) ---
+        "config_compiled_mix": q_config_compiled_mix,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
-        "match_weighting": q_match_weighting,
         "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
         # --- changed or added in round 3 (need fresh driver rows) ---
@@ -2941,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgb_hit_ret_combo": q_kgb_hit_ret,
         "lookup_gap_max_kernel": q_lookup_gap_max,
         "normalizer_bound_regular": q_normalizer_bound_regular,
+        "match_weighting": q_match_weighting,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -4253,6 +4293,58 @@ def oracle_sql() -> dict[str, str]:
     sql["rolling_count_bucketed"] = sql["rolling_count_1h"]
     # the streaming ingest path must equal the batch daily-ingest path
     sql["streaming_dedup_parity"] = sql["dedup_incremental"]
+    # declared pipeline == the operators' oracles composed in order
+    from featuregenerator_spark.operators.sampling import (
+        DEMO_DEFAULT_RATE as _MIX_DEFAULT,
+    )
+    from featuregenerator_spark.operators.sampling import (
+        rates_values_sql as _rates_sql,
+    )
+    from featuregenerator_spark.operators.sampling import (
+        split_rate as _split_rate,
+    )
+
+    _dbase, _dthresh = _split_rate(_MIX_DEFAULT)
+    sql["config_compiled_mix"] = f"""
+        WITH lmq AS ({sql["quality_lm_perplexity"]}),
+        pr AS (
+          SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para
+                     ORDER BY doc_id, idx) AS rn
+          FROM (SELECT doc_id, i - 1 AS idx, parts[i] AS para
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, chr(10)),
+                                         x -> x <> '') AS parts
+                      FROM documents),
+                     UNNEST(generate_series(1, len(parts))) AS u(i))),
+        parq AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(
+                     list(para ORDER BY idx) FILTER (WHERE rn = 1),
+                     chr(10)), '') AS ct,
+                 round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 4) AS frac
+          FROM pr GROUP BY doc_id),
+        bs AS (
+          SELECT d.doc_id, d.source,
+                 lmq.lm_logppl AS ppl, lmq.ppl_bucket AS ppl_bucket,
+                 lmq.keep AS ppl_keep,
+                 coalesce(parq.ct, '') AS text_nodup,
+                 coalesce(parq.frac, 0.0) AS nodup_frac
+          FROM documents d JOIN lmq USING (doc_id)
+               LEFT JOIN parq USING (doc_id)
+          WHERE lmq.keep = 1),
+        r(source, base, thresh) AS {_rates_sql()},
+        mixd AS (
+          SELECT bs.*,
+                 coalesce(r.base, {_dbase}) +
+                 CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8) < coalesce(r.thresh, '{_dthresh}')
+                      THEN 1 ELSE 0 END AS copies
+          FROM bs LEFT JOIN r USING (source))
+        SELECT doc_id, source, ppl, ppl_bucket, ppl_keep, text_nodup,
+               nodup_frac, CAST(u.i AS INTEGER) AS copy_idx
+        FROM mixd, UNNEST(generate_series(1, copies)) AS u(i)"""
     # config_compiled_temporal: the FOUR standard window oracles composed
     # verbatim as CTEs — the gate itself proves the JSON-declared pipeline
     # (spec.compile_pipeline) equals the hand-built queries.

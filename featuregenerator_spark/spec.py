@@ -123,6 +123,13 @@ _CURATION_TYPES = {
     # model-based quality scoring (operators/quality_model.py): the JSON
     # carries the weight table itself — a checkpoint IS config
     "quality_model",
+    # corpus-level lifts added in round 4 session 6: paragraph-granularity
+    # dedup, the relational LM-perplexity filter, and the (row-amplifying)
+    # deterministic source-mix resampler — the mixture table IS config,
+    # like quality_model's weights
+    "paragraph_dedup",
+    "lm_perplexity",
+    "source_mix",
 }
 
 # metric vocabularies validated at parse time; pinned against the actual
@@ -155,6 +162,9 @@ _CURATION_REQUIRED = {
     "substring_dup": ("k", "id_column"),
     "substring_trim": ("k", "id_column"),
     "quality_model": ("weights",),
+    "paragraph_dedup": ("id_column",),
+    "lm_perplexity": ("id_column",),
+    "source_mix": ("id_column", "source_column", "rates"),
 }
 _CURATION_METRIC_VOCAB = {
     "quality_rule": _QUALITY_METRICS,
@@ -852,6 +862,62 @@ def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
             F.col("n_removed_tokens").alias(f"{s.feature_name}_removed"),
         )
         return df.join(trimmed, id_col, "left")
+    if t == "paragraph_dedup":
+        from featuregenerator_spark.operators.paragraph_dedup import (
+            dedup_paragraphs,
+        )
+
+        id_col = p["id_column"]
+        cleaned = dedup_paragraphs(
+            df.select(id_col, col_name),
+            text_col=col_name,
+            id_col=id_col,
+            sep=p.get("separator", "\n"),
+        ).select(
+            F.col(id_col),
+            F.col("clean_text").alias(s.feature_name),
+            F.col("n_dup_paragraphs").alias(f"{s.feature_name}_removed"),
+            F.col("dup_para_frac").alias(f"{s.feature_name}_dup_frac"),
+        )
+        return df.join(cleaned, id_col, "left")
+    if t == "lm_perplexity":
+        from featuregenerator_spark.operators.lm_perplexity import (
+            DEFAULT_KEEP_LOGPPL,
+            perplexity_filter,
+        )
+
+        id_col = p["id_column"]
+        # the "clean reference corpus" is itself declarative: a SQL
+        # predicate over the input rows (default: the even-id half)
+        train = df.where(F.expr(p.get("train_predicate", f"{id_col} % 2 = 0")))
+        scored = perplexity_filter(
+            df.select(id_col, col_name),
+            train_df=train.select(id_col, col_name),
+            text_col=col_name,
+            id_col=id_col,
+            keep_logppl=float(p.get("keep_logppl", DEFAULT_KEEP_LOGPPL)),
+        ).select(
+            F.col(id_col),
+            F.col("lm_logppl").alias(s.feature_name),
+            F.col("ppl_bucket").alias(f"{s.feature_name}_bucket"),
+            F.col("keep").alias(f"{s.feature_name}_keep"),
+        )
+        return df.join(scored, id_col, "left")
+    if t == "source_mix":
+        from featuregenerator_spark.operators.sampling import copies_column
+
+        copies = copies_column(
+            F.col(p["id_column"]),
+            F.col(p["source_column"]),
+            {str(k): float(v) for k, v in p["rates"].items()},
+            float(p.get("default_rate", 1.0)),
+        )
+        idxs = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
+        # row-amplifying: every declared column survives, one output row
+        # per kept copy, copy index under the feature name
+        return df.withColumn(s.feature_name, F.explode(idxs))
     if t == "quality_model":
         from featuregenerator_spark.operators.quality_model import (
             linear_score_columns,

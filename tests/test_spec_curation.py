@@ -245,3 +245,66 @@ def test_compiled_quality_model_matches_operator(spark):
     for k in got:
         assert got[k]["prob"] == pytest.approx(exp[k]["p"], abs=1e-12)
         assert got[k]["logit"] == pytest.approx(exp[k]["s"], abs=1e-12)
+
+
+def test_parse_validates_session6_types():
+    from featuregenerator_spark.spec import parse_config
+
+    with pytest.raises(ValueError, match="rates"):
+        parse_config({"features": [
+            {"feature_type": "source_mix", "feature_name": "c",
+             "id_column": "doc_id", "source_column": "source"},
+        ]})
+    with pytest.raises(ValueError, match="id_column"):
+        parse_config({"features": [
+            {"feature_type": "lm_perplexity", "feature_name": "p"},
+        ]})
+    with pytest.raises(ValueError, match="id_column"):
+        parse_config({"features": [
+            {"feature_type": "paragraph_dedup", "feature_name": "t"},
+        ]})
+
+
+def test_compiled_mix_pipeline_matches_operators(spark):
+    from featuregenerator_spark.operators.lm_perplexity import perplexity_filter
+    from featuregenerator_spark.operators.paragraph_dedup import dedup_paragraphs
+    from featuregenerator_spark.operators.sampling import source_mix_sample
+    from featuregenerator_spark.spec import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"a b c w{i % 3}\na b c w{i % 3}", "s" + str(i % 2))
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    config = {"features": [
+        {"feature_type": "lm_perplexity", "feature_name": "ppl",
+         "id_column": "doc_id", "keep_logppl": 99.0,
+         "train_predicate": "doc_id % 4 = 0"},
+        {"feature_type": "paragraph_dedup", "feature_name": "clean",
+         "id_column": "doc_id"},
+        {"feature_type": "source_mix", "feature_name": "copy_idx",
+         "id_column": "doc_id", "source_column": "source",
+         "rates": {"s0": 2.0}, "default_rate": 1.0},
+    ]}
+    got = compile_pipeline(config, df)
+    # row amplification: s0 docs appear twice, s1 once
+    counts = {r["source"]: r["count"]
+              for r in got.groupBy("source").count().collect()}
+    assert counts == {"s0": 40, "s1": 20}
+    # scoring equals the operator with the SAME declarative train split
+    ops = perplexity_filter(
+        df.select("doc_id", "text"),
+        train_df=df.filter("doc_id % 4 = 0").select("doc_id", "text"),
+        keep_logppl=99.0,
+    )
+    exp_ppl = {r["doc_id"]: r["lm_logppl"] for r in ops.collect()}
+    exp_clean = {r["doc_id"]: r["clean_text"]
+                 for r in dedup_paragraphs(df.select("doc_id", "text")).collect()}
+    for r in got.dropDuplicates(["doc_id"]).collect():
+        assert r["ppl"] == exp_ppl[r["doc_id"]]
+        assert r["clean"] == exp_clean[r["doc_id"]]
+        assert r["ppl_keep"] == 1
+    # and the copy multiset equals the standalone sampler's
+    mix = source_mix_sample(df, {"s0": 2.0}, default_rate=1.0)
+    assert sorted(map(tuple, got.select("doc_id", "source", "copy_idx").collect())) \
+        == sorted(map(tuple, mix.collect()))
