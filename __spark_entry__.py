@@ -1580,6 +1580,19 @@ def q_token_count_regex(spark, sf_dir):
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (tf x smoothed idf, scikit-learn
+    formulation), fully relational with a deterministic (score DESC,
+    term ASC) tiebreak so both engines rank identically — the salient-
+    term extractor of the text-analysis battery. N rides a broadcast
+    one-row cross join; the df table is vocabulary-sized."""
+    from featuregenerator_spark.operators.text_analysis import tfidf_top_terms
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    return tfidf_top_terms(docs, k=5)
+
+
 def q_quality_score(spark, sf_dir):
     from featuregenerator_spark.operators.text_analysis import quality_score
 
@@ -2874,9 +2887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: declarative mix/dedup/ppl
         # --- pipeline; displaces match_weighting (r03-green, unchanged) ---
         "config_compiled_mix": q_config_compiled_mix,
+        # --- added in round 4 session 6: TF-IDF top terms; displaces
+        # --- combo_sorted_pruneright (r03-green, unchanged) ---
+        "tfidf_top_terms": q_tfidf_top_terms,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
-        "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
@@ -2981,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_gap_max_kernel": q_lookup_gap_max,
         "normalizer_bound_regular": q_normalizer_bound_regular,
         "match_weighting": q_match_weighting,
+        "combo_sorted_pruneright": q_combo_sorted,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -3101,6 +3117,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "tfidf_top_terms": """
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS s
+              FROM tf JOIN dfreq USING (term), n),
+            r AS (SELECT doc_id, term, s,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, term ASC) AS rank
+                  FROM scored)
+            SELECT doc_id, term, round(s, 4) AS tfidf,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5""",
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)

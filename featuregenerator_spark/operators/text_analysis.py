@@ -131,3 +131,52 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
     )
+
+
+def tfidf_top_terms(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document — the classic salient-term
+    extractor (tf * smoothed idf, the scikit-learn formulation
+    ``idf = ln((N+1)/(df+1)) + 1`` — public convention), fully
+    relational:
+
+    1. explode once -> groupBy(doc, term) count = tf (map-side combine,
+       the shuffle carries one row per distinct doc-term);
+    2. document frequency = groupBy(term) over the distinct doc-term
+       rows (vocabulary-sized output; AQE broadcasts it back);
+    3. N rides a broadcast one-row cross join, never a driver collect;
+    4. row_number per doc ordered by (score DESC, term ASC) — the term
+       tiebreak makes top-k deterministic across engines and runs; both
+       engines compute the identical IEEE double from the same integer
+       (tf, df, N) inputs, so the ranking itself is exact.
+
+    Returns (id, term, tfidf rounded, rank 1..k). Pure relational ops —
+    exact DuckDB mirror, no per-row Python.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    ranked = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("tfidf").desc(), F.col("term").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        id_col, "term", F.round("tfidf", 4).alias("tfidf"), "rank"
+    )

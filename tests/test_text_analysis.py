@@ -201,3 +201,34 @@ def test_lang_trigram_spark_trigrams_match_python(spark):
         ).lower()
         expect = [norm[i : i + 3] for i in range(max(len(norm) - 2, 0))]
         assert g == expect, t
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    import math
+
+    from featuregenerator_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out}
+    # N=3; df: apple 1, banana 2, cherry 2
+    idf1 = math.log(4 / 2) + 1      # df=1
+    idf2 = math.log(4 / 3) + 1      # df=2
+    assert got[(1, 1)] == ("apple", round(2 * idf1, 4))
+    assert got[(1, 2)] == ("banana", round(1 * idf2, 4))
+    assert got[(3, 1)] == ("cherry", round(3 * idf2, 4))
+    assert len(got) == 2 + 2 + 1    # doc3 has only one distinct term
+
+
+def test_tfidf_tiebreak_deterministic(spark):
+    from featuregenerator_spark.operators.text_analysis import tfidf_top_terms
+
+    # all terms equal tf and df -> ranked purely by term ASC
+    df = spark.createDataFrame([(1, "zeta alpha mid")], "doc_id long, text string")
+    out = sorted(
+        tfidf_top_terms(df, k=3).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["term"] for r in out] == ["alpha", "mid", "zeta"]
