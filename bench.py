@@ -290,6 +290,7 @@ def main() -> None:
     skew_mega: dict[str, float] = {}
     incremental: dict[str, float] = {}
     substring: dict[str, float] = {}
+    text_ops: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -345,6 +346,25 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             substring[name] = round(best, 3)
 
+        # session-6 curation/dedup family (round 4): the relational
+        # LM-perplexity filter (train + score + tertiles), paragraph
+        # dedup, the deterministic mixture resample, and TF-IDF top
+        # terms — non-headline like the other post-r2 families.
+        for name in (
+            "quality_lm_perplexity",
+            "paragraph_dedup",
+            "source_mix_sample",
+            "tfidf_top_terms",
+        ):
+            df = qmap[name](spark, SF_DIR)
+            _noop(df)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _noop(df)
+                best = min(best, time.time() - t0)
+            text_ops[name] = round(best, 3)
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -366,6 +386,7 @@ def main() -> None:
                 "skew_mega_chunked_speedup": skew_mega_speedup,
                 "dedup_incremental": incremental,
                 "substring_dedup": substring,
+                "text_ops": text_ops,
                 "curation": curation,
             }
         )
