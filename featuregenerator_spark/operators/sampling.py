@@ -56,8 +56,16 @@ def split_rate(rate: float) -> tuple[int, str]:
     if rate < 0:
         raise ValueError(f"negative sampling rate: {rate}")
     base = int(math.floor(rate))
-    frac = rate - base
-    return base, format(int(round(frac * 16**8)), "08x")
+    scaled = int(round((rate - base) * 16**8))
+    if scaled >= 16**8:
+        # a fraction that rounds to 1.0 must carry into the integer
+        # part: format(16^8) would be 9 hex chars, and a 9-char
+        # threshold compares LOW lexicographically against 8-char
+        # draws ('ff..' > '10..'), silently dropping the copy instead
+        # of guaranteeing it
+        base += 1
+        scaled = 0
+    return base, format(scaled, "08x")
 
 
 def _draw(key: Column) -> Column:

@@ -62,3 +62,11 @@ def test_map_only_plan(spark, corpus):
     plan = source_mix_sample(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_rate_near_one_fraction_carries():
+    # a fraction rounding to 1.0 must carry, never emit a 9-hex threshold
+    assert split_rate(2.99999999999) == (3, "00000000")
+    assert split_rate(0.9999999999999) == (1, "00000000")
+    base, thresh = split_rate(0.99999)
+    assert base == 0 and len(thresh) == 8
