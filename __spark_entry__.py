@@ -1580,6 +1580,24 @@ def q_token_count_regex(spark, sf_dir):
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
 
 
+def q_corpus_stats_per_source(spark, sf_dir):
+    """Corpus profiling per source — the know-your-data telemetry every
+    mixture decision starts from: doc counts, token totals, token-count
+    mean, char-length extremes, language spread. One map-side-combined
+    groupBy(source); at 100 TB this is the cheapest query in the engine
+    (a single shuffle of one row per source per partition)."""
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("mean_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 TF-IDF terms per document (tf x smoothed idf, scikit-learn
     formulation), fully relational with a deterministic (score DESC,
@@ -2890,9 +2908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: TF-IDF top terms; displaces
         # --- combo_sorted_pruneright (r03-green, unchanged) ---
         "tfidf_top_terms": q_tfidf_top_terms,
+        # --- added in round 4 session 6: corpus profiling; displaces
+        # --- preclick_decode_kv (r03-green, unchanged) ---
+        "corpus_stats_per_source": q_corpus_stats_per_source,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
-        "preclick_decode_kv": q_preclick_decode_kv,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
@@ -2997,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalizer_bound_regular": q_normalizer_bound_regular,
         "match_weighting": q_match_weighting,
         "combo_sorted_pruneright": q_combo_sorted,
+        "preclick_decode_kv": q_preclick_decode_kv,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -3136,6 +3157,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, round(s, 4) AS tfidf,
                    CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 5""",
+        "corpus_stats_per_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens,
+                   round(avg(len(string_split(text, ' '))), 4)
+                     AS mean_tokens,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source""",
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)

@@ -75,3 +75,41 @@ def test_curation_job_single_unit_without_ds(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["committed_units"] == 1
     assert set(lineage.committed_partitions(out)) == {"all"}
+
+
+def test_curation_job_session6_types_end_to_end(spark, tmp_path, capsys):
+    # the deployment entry runs the session-6 spec types unchanged:
+    # perplexity score -> paragraph dedup -> fluency filter -> mixture
+    path = str(tmp_path / "docs6")
+    rows = []
+    for i in range(30):
+        text = f"alpha beta gamma delta w{i % 5}\nshared footer line"
+        rows.append((i, text, "s" + str(i % 2)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(path)
+    config = {"features": [
+        {"feature_type": "lm_perplexity", "feature_name": "ppl",
+         "id_column": "doc_id", "keep_logppl": 99.0},
+        {"feature_type": "paragraph_dedup", "feature_name": "clean",
+         "id_column": "doc_id"},
+        {"feature_type": "filter", "feature_name": "fluent",
+         "predicate": "ppl_keep = 1"},
+        {"feature_type": "source_mix", "feature_name": "copy_idx",
+         "id_column": "doc_id", "source_column": "source",
+         "rates": {"s0": 2.0, "s1": 1.0}},
+    ]}
+    cfg = tmp_path / "c6.json"
+    cfg.write_text(json.dumps(config))
+    out_dir = str(tmp_path / "out6")
+    rc = main(["--input", path, "--output", out_dir, "--config", str(cfg)])
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    # s0 docs doubled, s1 single (all docs pass the 99.0 keep bound)
+    counts = {r["source"]: r["count"]
+              for r in got.groupBy("source").count().collect()}
+    assert counts == {"s0": 30, "s1": 15}
+    one = got.filter("doc_id = 1").dropDuplicates(["doc_id"]).collect()[0]
+    # the shared footer paragraph survives only in doc 0's copy
+    assert one["clean"] == "alpha beta gamma delta w1"
+    assert one["ppl_keep"] == 1 and one["ppl"] is not None
