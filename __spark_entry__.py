@@ -160,7 +160,15 @@ def q_rolling_count_bucketed(spark, sf_dir):
     from featuregenerator_spark.plans import temporal
     from featuregenerator_spark.sources.bucketed import sanitized, stage_bucketed_table
 
-    tag = sanitized(os.path.basename(os.path.normpath(sf_dir)))
+    # tag by full-path hash, not basename: two corpora with the same
+    # basename (or two sessions on one host) must not share a staging
+    # table/location (same keying rule as streaming's _stage_single_file)
+    import hashlib
+
+    tag = "{}_{}".format(
+        sanitized(os.path.basename(os.path.normpath(sf_dir))),
+        hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+    )
     bt = stage_bucketed_table(
         spark,
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
@@ -935,20 +943,12 @@ def q_dedup_cc_lsh(spark, sf_dir):
 
 
 def _hashed_token_docs(spark, sf_dir):
-    """(doc_id, lang, th, n): per-doc distinct-token xxhash64 arrays.
+    """(doc_id, lang, th, n): per-doc distinct-token xxhash64 arrays —
+    the shared column builder in operators/jaccard.py (one source of
+    truth with the streaming ingest-dedup path)."""
+    from featuregenerator_spark.operators.jaccard import hashed_token_cols
 
-    Each token string is hashed ONCE; every MinHash permutation and
-    every exact-Jaccard verification downstream derives from the 8-byte
-    hash (fixed-width rehash ~10x cheaper than re-hashing strings, and
-    hash-array Jaccard == string-token Jaccard absent a ~V^2/2^64
-    vocabulary collision — DuckDB-gate-proven on the exact queries)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.transform(
-            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
-        ).alias("th"),
-    ).withColumn("n", F.size("th"))
+    return hashed_token_cols(_docs(spark, sf_dir))
 
 
 def _minhash_band_table(hashed, n_hashes: int = 16, bands: int = 4):
@@ -1238,14 +1238,11 @@ def _incremental_matches(spark, sf_dir, via_lsh: bool):
 
 
 def _best_match(matches):
-    """One dedup decision per batch doc: highest jaccard, ties to the
-    smallest corpus id (deterministic; map-side-partial max_by, no sort)."""
-    return matches.groupBy("doc_id").agg(
-        F.max_by(
-            F.struct("match_id", "jaccard"),
-            F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nm")),
-        ).alias("m")
-    ).select("doc_id", F.col("m.match_id").alias("match_id"), F.col("m.jaccard").alias("jaccard"))
+    """One dedup decision per batch doc — the shared aggregate in
+    operators/jaccard.py (one source of truth with the streaming path)."""
+    from featuregenerator_spark.operators.jaccard import best_match
+
+    return best_match(matches)
 
 
 def q_dedup_incremental(spark, sf_dir):

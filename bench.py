@@ -247,6 +247,23 @@ def run_curation(spark, cores: int) -> dict[str, float]:
     }
 
 
+def _time_family(qmap, spark, names) -> dict[str, float]:
+    """Warm once (JIT-compiles the codegen stages), then min of two
+    executions of the same plan — the single timing policy every bench
+    family uses."""
+    out: dict[str, float] = {}
+    for name in names:
+        df = qmap[name](spark, SF_DIR)
+        _noop(df)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop(df)
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         return run_scaling()
@@ -302,18 +319,7 @@ def main() -> None:
             skew_mega["skew_mega_serial"] / skew_mega["skew_mega_chunked"], 3
         )
         qmap = entrymod.queries()
-        for name in BENCH_QUERIES:
-            # same treatment as the flagship: first run JIT-compiles the
-            # codegen stages (3-8x slower, doesn't reflect steady state);
-            # report the min of two warmed executions of the same plan
-            df = qmap[name](spark, SF_DIR)
-            _noop(df)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                _noop(df)
-                best = min(best, time.time() - t0)
-            queries[name] = round(best, 3)
+        queries.update(_time_family(qmap, spark, BENCH_QUERIES))
 
         # incremental-dedup legs (round 3 additions): like skew_mega,
         # reported as separate fields, NOT in the headline sum, to keep
@@ -321,49 +327,33 @@ def main() -> None:
         # exact batch-vs-corpus pair scan with the LSH band-equijoin
         # scale path on identical output (best-match decisions pinned
         # identical in tests/test_incremental.py).
-        for name in ("dedup_incremental", "dedup_incremental_lsh"):
-            df = qmap[name](spark, SF_DIR)
-            _noop(df)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                _noop(df)
-                best = min(best, time.time() - t0)
-            incremental[name] = round(best, 3)
+        incremental = _time_family(
+            qmap, spark, ("dedup_incremental", "dedup_incremental_lsh")
+        )
 
         # substring-dedup legs (round 4): the ExactSubstr report + trim
         # over the full documents table, non-headline like the other
         # post-r2 families. One window-hash explode feeds both; trim
         # additionally pays the canonical min(struct) agg and the
         # indexed-lambda rebuild.
-        for name in ("substring_dup_coverage", "substring_dup_trim"):
-            df = qmap[name](spark, SF_DIR)
-            _noop(df)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                _noop(df)
-                best = min(best, time.time() - t0)
-            substring[name] = round(best, 3)
+        substring = _time_family(
+            qmap, spark, ("substring_dup_coverage", "substring_dup_trim")
+        )
 
         # session-6 curation/dedup family (round 4): the relational
         # LM-perplexity filter (train + score + tertiles), paragraph
         # dedup, the deterministic mixture resample, and TF-IDF top
         # terms — non-headline like the other post-r2 families.
-        for name in (
-            "quality_lm_perplexity",
-            "paragraph_dedup",
-            "source_mix_sample",
-            "tfidf_top_terms",
-        ):
-            df = qmap[name](spark, SF_DIR)
-            _noop(df)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                _noop(df)
-                best = min(best, time.time() - t0)
-            text_ops[name] = round(best, 3)
+        text_ops = _time_family(
+            qmap,
+            spark,
+            (
+                "quality_lm_perplexity",
+                "paragraph_dedup",
+                "source_mix_sample",
+                "tfidf_top_terms",
+            ),
+        )
 
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:

@@ -48,7 +48,14 @@ def split_paragraphs(
 ) -> DataFrame:
     """(id, idx, para) per non-empty paragraph; idx is 0-based document
     position (kept so the rebuild restores original order)."""
-    paras = F.filter(F.split(F.col(text_col), sep), lambda p: p != F.lit(""))
+    import re
+
+    # F.split takes a Java regex while the rebuild (concat_ws) and the
+    # oracle treat the separator literally — escape it so a '|' or '.'
+    # separator splits on the character, not on a regex
+    paras = F.filter(
+        F.split(F.col(text_col), re.escape(sep)), lambda p: p != F.lit("")
+    )
     return df.select(
         F.col(id_col), F.posexplode(paras).alias("idx", "para")
     )

@@ -140,7 +140,9 @@ def rates_values_sql(
     if rates is None:
         rates = DEMO_RATES
     rows = ", ".join(
-        f"('{s}', {split_rate(r)[0]}, '{split_rate(r)[1]}')"
+        "('{}', {}, '{}')".format(
+            s.replace("'", "''"), split_rate(r)[0], split_rate(r)[1]
+        )
         for s, r in sorted(rates.items())
     )
     return f"(VALUES {rows})"

@@ -132,6 +132,16 @@ _CURATION_TYPES = {
     "source_mix",
 }
 
+# lifts that groupBy/join-back on the document id and therefore assume
+# each id appears once — cannot follow the row-amplifying source_mix
+# (validated in parse_config)
+_PER_ID_CORPUS_TYPES = {
+    "substring_dup",
+    "substring_trim",
+    "paragraph_dedup",
+    "lm_perplexity",
+}
+
 # metric vocabularies validated at parse time; pinned against the actual
 # operator column dicts in tests/test_spec_curation.py so they cannot
 # drift from the implementations
@@ -326,6 +336,28 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                     "otherExpression)"
                 )
         specs.append(FeatureSpec(ftype, name, params))
+    # cross-entry contract: source_mix AMPLIFIES rows (k copies per id),
+    # so any later per-id corpus lift would see duplicated documents —
+    # doubled paragraph counts, NLL averaged over replicated bigrams,
+    # k x k join-back fan-out — with no runtime error. Reject at parse
+    # time; declare such lifts before the mixture (the natural order:
+    # score/dedup the corpus, THEN resample it).
+    mix_at = next(
+        (i for i, s in enumerate(specs) if s.feature_type == "source_mix"),
+        None,
+    )
+    if mix_at is not None:
+        per_id_after = [
+            s.feature_name
+            for s in specs[mix_at + 1 :]
+            if s.feature_type in _PER_ID_CORPUS_TYPES
+        ]
+        if per_id_after:
+            raise ValueError(
+                f"per-document corpus lifts {per_id_after} declared AFTER "
+                "source_mix would compute over amplified (duplicated) "
+                "rows; declare them before the mixture resample"
+            )
     return specs
 
 

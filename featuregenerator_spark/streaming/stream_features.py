@@ -200,18 +200,6 @@ def read_document_stream(
     )
 
 
-def _hashed_tokens(df: DataFrame) -> DataFrame:
-    """(doc_id, lang, th, n): xxhash64 token-set columns — the same
-    fixed-width-long Jaccard representation the batch dedup family uses
-    (pure Column exprs, so it applies to streams unchanged)."""
-    toks = F.array_distinct(F.split("text", " "))
-    return df.select(
-        "doc_id",
-        "lang",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
-    ).withColumn("n", F.size("th"))
-
-
 def incremental_dedup_stream(
     new_docs: DataFrame, corpus: DataFrame, threshold: float = 0.8
 ) -> DataFrame:
@@ -227,9 +215,16 @@ def incremental_dedup_stream(
     Scale: identical join shape to the batch incremental path —
     |batch| x |corpus|/lang with the lossless size-ratio prune, never
     corpus x corpus; the LSH band-equijoin swap-in applies unchanged
-    (band tables are pure Column exprs too)."""
-    a = _hashed_tokens(new_docs)
-    b = _hashed_tokens(corpus).select(
+    (band tables are pure Column exprs too). Token hashing and the
+    best-match tie rule are the SHARED builders in operators/jaccard.py
+    — batch/stream parity by construction."""
+    from featuregenerator_spark.operators.jaccard import (
+        best_match,
+        hashed_token_cols,
+    )
+
+    a = hashed_token_cols(new_docs)
+    b = hashed_token_cols(corpus).select(
         F.col("doc_id").alias("match_id"),
         F.col("lang").alias("lb"),
         F.col("th").alias("hb"),
@@ -251,20 +246,7 @@ def incremental_dedup_stream(
         .filter(F.col("__jac") >= threshold)
         .select("doc_id", "match_id", F.round("__jac", 4).alias("jaccard"))
     )
-    return (
-        matches.groupBy("doc_id")
-        .agg(
-            F.max_by(
-                F.struct("match_id", "jaccard"),
-                F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nm")),
-            ).alias("m")
-        )
-        .select(
-            "doc_id",
-            F.col("m.match_id").alias("match_id"),
-            F.col("m.jaccard").alias("jaccard"),
-        )
-    )
+    return best_match(matches)
 
 
 def running_event_snapshot(stream: DataFrame) -> DataFrame:

@@ -64,3 +64,14 @@ def test_order_restored_and_counts(spark, corpus):
 def test_no_python_udf_in_plan(spark, corpus):
     plan = dedup_paragraphs(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regex_metachar_separator_is_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "aa|shared|bb"), (2, "shared|cc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(df, sep="|").collect()}
+    assert out[1]["clean_text"] == "aa|shared|bb"
+    assert out[2]["clean_text"] == "cc"
+    assert out[2]["n_dup_paragraphs"] == 1

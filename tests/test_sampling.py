@@ -70,3 +70,14 @@ def test_split_rate_near_one_fraction_carries():
     assert split_rate(0.9999999999999) == (1, "00000000")
     base, thresh = split_rate(0.99999)
     assert base == 0 and len(thresh) == 8
+
+
+def test_rates_values_sql_escapes_quotes():
+    from featuregenerator_spark.operators.sampling import rates_values_sql
+
+    sql = rates_values_sql({"o'reilly": 1.5})
+    assert "'o''reilly'" in sql
+    import duckdb
+    assert duckdb.sql(f"SELECT * FROM {sql} t(s, b, h)").fetchall() == [
+        ("o'reilly", 1, "80000000")
+    ]

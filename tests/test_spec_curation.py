@@ -308,3 +308,19 @@ def test_compiled_mix_pipeline_matches_operators(spark):
     mix = source_mix_sample(df, {"s0": 2.0}, default_rate=1.0)
     assert sorted(map(tuple, got.select("doc_id", "source", "copy_idx").collect())) \
         == sorted(map(tuple, mix.collect()))
+
+
+def test_source_mix_rejects_following_per_id_lifts():
+    from featuregenerator_spark.spec import parse_config
+
+    bad = {"features": [
+        {"feature_type": "source_mix", "feature_name": "c",
+         "id_column": "doc_id", "source_column": "source", "rates": {"a": 1.0}},
+        {"feature_type": "paragraph_dedup", "feature_name": "t",
+         "id_column": "doc_id"},
+    ]}
+    with pytest.raises(ValueError, match="AFTER source_mix"):
+        parse_config(bad)
+    # the natural order parses fine
+    ok = {"features": [bad["features"][1], bad["features"][0]]}
+    assert len(parse_config(ok)) == 2
