@@ -909,6 +909,44 @@ def q_dedup_connected_components(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Document-level dedup REMEDIATION with a quality-aware keep
+    policy: per near-dup cluster (transitive closure over exact-Jaccard
+    edges), keep the best representative — longest document, ties to
+    the smallest id — instead of the naive first-seen. Real pipelines
+    keep the richest copy, not an arbitrary one. Winner selection is a
+    map-side-combinable max_by aggregate (no per-component sorted
+    window); singletons (docs in no cluster) survive by definition.
+    Oracle composes the gate-proven CC recursive CTE with a
+    row_number winner — proving agg-winner == window-winner too."""
+    from featuregenerator_spark.operators.dedup_cluster import connected_components
+
+    edges = q_neardup_token_jaccard(spark, sf_dir)
+    comp = connected_components(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    j = _docs(spark, sf_dir).select("doc_id", "n_chars").join(
+        comp, "doc_id", "left"
+    )
+    winners = (
+        j.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("keep_id")
+        )
+    )
+    return j.join(winners, "component", "left").select(
+        "doc_id",
+        "component",
+        F.coalesce(F.col("doc_id") == F.col("keep_id"), F.lit(True))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 def q_dedup_cc_lsh(spark, sf_dir):
     """Scale-path dedup clustering: MinHash-LSH candidate pairs (already
     re-verified with exact Jaccard >= 0.8 in-query), restricted to
@@ -2908,6 +2946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: corpus profiling; displaces
         # --- preclick_decode_kv (r03-green, unchanged) ---
         "corpus_stats_per_source": q_corpus_stats_per_source,
+        # --- added in round 4 session 6: quality-aware dedup remediation;
+        # --- displaces lookup_legacy_v3_decode (r03-green, unchanged) ---
+        "dedup_keep_best": q_dedup_keep_best,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
         # --- changed or added in round 3 (need fresh driver rows) ---
@@ -2915,7 +2956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
-        "lookup_legacy_v3_decode": q_lookup_legacy_v3,
         "lookup_legacy_btree_decode": q_lookup_legacy_btree,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
@@ -3015,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_weighting": q_match_weighting,
         "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
+        "lookup_legacy_v3_decode": q_lookup_legacy_v3,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -4353,6 +4394,19 @@ def oracle_sql() -> dict[str, str]:
     # component minima), so its oracle is the full-CC SQL verbatim — the
     # gate itself proves incremental == full.
     sql["dedup_cc_incremental"] = sql["dedup_connected_components"]
+    # remediation composes the gate-proven CC closure with a winner rule
+    sql["dedup_keep_best"] = f"""
+        WITH cc AS ({sql["dedup_connected_components"]}),
+        j AS (SELECT d.doc_id, d.n_chars, cc.component
+              FROM documents d LEFT JOIN cc USING (doc_id)),
+        w AS (SELECT component, doc_id AS keep_id FROM (
+                SELECT component, doc_id,
+                       row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM j WHERE component IS NOT NULL) WHERE rn = 1)
+        SELECT j.doc_id, j.component,
+               CAST(coalesce(j.doc_id = w.keep_id, TRUE) AS INTEGER) AS kept
+        FROM j LEFT JOIN w USING (component)"""
     # bucketed layout changes the physical plan, never the values
     sql["rolling_count_bucketed"] = sql["rolling_count_1h"]
     # the streaming ingest path must equal the batch daily-ingest path

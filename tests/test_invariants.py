@@ -325,3 +325,47 @@ def test_connected_components_resume_after_convergence(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_keep_best_policy(spark):
+    # winner = longest doc, ties to smallest id; singletons survive
+    from featuregenerator_spark.operators.dedup_cluster import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.9), (7, 8, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 10), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    comp = connected_components(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    j = docs.join(comp, "doc_id", "left")
+    winners = (
+        j.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("keep_id")
+        )
+    )
+    out = {
+        r["doc_id"]: r["kept"]
+        for r in j.join(winners, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("doc_id") == F.col("keep_id"), F.lit(True))
+            .cast("int")
+            .alias("kept"),
+        )
+        .collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 90 chars -> smaller id 2 wins
+    assert out == {1: 0, 2: 1, 3: 0, 7: 1, 8: 0, 9: 1}
