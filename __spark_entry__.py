@@ -2395,6 +2395,38 @@ def q_c4_line_filter(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Text canonicalization before hashing/dedup: lowercase, strip
+    control chars, collapse whitespace runs, trim — every exact-dup
+    pass is only as good as its normalization. The synthetic docs are
+    already clean, so the query plants deterministic mess (tabs,
+    control chars, double spaces, stray case) from doc_id — identical
+    concat in the oracle — making every counter exact. Pure Column
+    regexes, lookaround-free so Java and RE2 agree."""
+    from featuregenerator_spark.operators.text_clean import (
+        normalize_text_columns,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("  MIXED Case\t"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\u0007\u0001"))
+            .otherwise(F.lit("")),
+            F.lit("  trailing   runs "),
+        ).alias("text"),
+    )
+    cols = normalize_text_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_ctrl_removed"].alias("n_ctrl_removed"),
+        cols["n_ws_collapsed"].alias("n_ws_collapsed"),
+        cols["changed"].alias("changed"),
+        cols["norm_text"].alias("norm_text"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing over documents: count + replace emails, IPv4
     addresses, and phone numbers with typed placeholders (fixed
@@ -2949,6 +2981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: quality-aware dedup remediation;
         # --- displaces lookup_legacy_v3_decode (r03-green, unchanged) ---
         "dedup_keep_best": q_dedup_keep_best,
+        # --- added in round 4 session 6: text canonicalization; displaces
+        # --- lookup_legacy_btree_decode (r03-green, unchanged) ---
+        "text_normalize": q_text_normalize,
         # --- never driver-checked before round 3 ---
         "simhash_neardup": q_simhash_neardup,
         # --- changed or added in round 3 (need fresh driver rows) ---
@@ -2956,7 +2991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
-        "lookup_legacy_btree_decode": q_lookup_legacy_btree,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_video_decode": q_multimodal_video,
@@ -3056,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_sorted_pruneright": q_combo_sorted,
         "preclick_decode_kv": q_preclick_decode_kv,
         "lookup_legacy_v3_decode": q_lookup_legacy_v3,
+        "lookup_legacy_btree_decode": q_lookup_legacy_btree,
         "lookup_combo_counts": q_lookup_combo_counts,
         "preclick_match_words": q_preclick_match_words,
         "lookup_v1_weighting": q_lookup_v1_weighting,
@@ -3206,6 +3241,33 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS max_chars,
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM documents GROUP BY source""",
+        "text_normalize": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     '  MIXED Case' || chr(9) || text ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN chr(7) || chr(1) ELSE '' END ||
+                     '  trailing   runs ' AS text
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                         '[\x00-\x08\x0b-\x1f\x7f]', '', 'g') AS no_ctrl
+              FROM d
+            ), c AS (
+              SELECT doc_id, text, no_ctrl,
+                     trim(regexp_replace(no_ctrl, '[ \t\n\r]+', ' ', 'g'))
+                       AS collapsed
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(length(text) - length(no_ctrl) AS BIGINT)
+                     AS n_ctrl_removed,
+                   CAST(length(no_ctrl) - length(collapsed) AS BIGINT)
+                     AS n_ws_collapsed,
+                   CAST(lower(collapsed) <> text AS INTEGER) AS changed,
+                   lower(collapsed) AS norm_text
+            FROM c""",
         "rolling_count_1h": """
             SELECT event_id,
                    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)

@@ -92,3 +92,28 @@ def pii_scrub_columns(text: Column) -> dict[str, Column]:
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols = pii_scrub_columns(F.col(text_col))
     return df.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
+def normalize_text_columns(text):
+    """Canonicalization before hashing/dedup (every exact-dup pass is
+    only as good as its normalization): lowercase, strip control chars,
+    collapse whitespace runs to single spaces, trim. Returns the metric
+    dict shape the other curation ops use. Lookaround-free patterns
+    with explicit char classes keep Java (Spark) and RE2 (DuckDB)
+    agreeing. Counters come from length deltas — no second regex scan
+    of the text."""
+    from pyspark.sql import functions as F
+
+    no_ctrl = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    collapsed = F.trim(
+        F.regexp_replace(no_ctrl, "[ \\t\\n\\r]+", " ")
+    )
+    norm = F.lower(collapsed)
+    return {
+        "n_ctrl_removed": (F.length(text) - F.length(no_ctrl)).cast("long"),
+        "n_ws_collapsed": (
+            F.length(no_ctrl) - F.length(collapsed)
+        ).cast("long"),
+        "norm_text": norm,
+        "changed": (norm != text).cast("int"),
+    }

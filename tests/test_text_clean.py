@@ -109,3 +109,30 @@ def test_pii_counts_on_original_text(spark):
     r = _scrub(spark, "nothing here")
     assert (r["n_email"], r["n_ip"], r["n_phone"]) == (0, 0, 0)
     assert r["scrubbed_text"] == "nothing here"
+
+
+def test_normalize_text_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from featuregenerator_spark.operators.text_clean import (
+        normalize_text_columns,
+    )
+
+    messy = "  A\tBC" + chr(7) + "   d "
+    df = spark.createDataFrame(
+        [(1, messy), (2, "already clean")], "doc_id long, text string"
+    )
+    cols = normalize_text_columns(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    assert out[1]["n_ctrl_removed"] == 1          # the BEL char
+    assert out[1]["norm_text"] == "a bc d"
+    assert out[1]["n_ws_collapsed"] == (len(messy) - 1) - len("A BC d")
+    assert out[1]["changed"] == 1
+    assert out[2]["norm_text"] == "already clean"
+    assert out[2]["changed"] == 0
+    assert out[2]["n_ctrl_removed"] == 0 and out[2]["n_ws_collapsed"] == 0
