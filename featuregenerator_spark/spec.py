@@ -130,6 +130,8 @@ _CURATION_TYPES = {
     "paragraph_dedup",
     "lm_perplexity",
     "source_mix",
+    # canonicalization before hashing/dedup (operators/text_clean.py)
+    "text_normalize",
 }
 
 # lifts that groupBy/join-back on the document id and therefore assume
@@ -175,6 +177,7 @@ _CURATION_REQUIRED = {
     "paragraph_dedup": ("id_column",),
     "lm_perplexity": ("id_column",),
     "source_mix": ("id_column", "source_column", "rates"),
+    "text_normalize": (),
 }
 _CURATION_METRIC_VOCAB = {
     "quality_rule": _QUALITY_METRICS,
@@ -894,6 +897,15 @@ def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
             F.col("n_removed_tokens").alias(f"{s.feature_name}_removed"),
         )
         return df.join(trimmed, id_col, "left")
+    if t == "text_normalize":
+        from featuregenerator_spark.operators.text_clean import (
+            normalize_text_columns,
+        )
+
+        cols = normalize_text_columns(F.col(col_name))
+        return df.withColumn(s.feature_name, cols["norm_text"]).withColumn(
+            f"{s.feature_name}_changed", cols["changed"]
+        )
     if t == "paragraph_dedup":
         from featuregenerator_spark.operators.paragraph_dedup import (
             dedup_paragraphs,

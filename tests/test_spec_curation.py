@@ -324,3 +324,19 @@ def test_source_mix_rejects_following_per_id_lifts():
     # the natural order parses fine
     ok = {"features": [bad["features"][1], bad["features"][0]]}
     assert len(parse_config(ok)) == 2
+
+
+def test_compiled_text_normalize(spark):
+    from featuregenerator_spark.spec import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "  Mixed   CASE x "), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    config = {"features": [
+        {"feature_type": "text_normalize", "feature_name": "norm"},
+        {"feature_type": "filter", "feature_name": "only_changed",
+         "predicate": "norm_changed = 1"},
+    ]}
+    out = compile_pipeline(config, df).collect()
+    assert [(r["doc_id"], r["norm"]) for r in out] == [(1, "mixed case x")]
