@@ -2563,6 +2563,31 @@ def q_multimodal_wav(spark, sf_dir):
     )
 
 
+def q_audio_spectral(spark, sf_dir):
+    """Audio ANALYSIS beyond container decode: batched-FFT dominant
+    frequency, zero-crossing count, and RMS over deterministic
+    square-tone WAV payloads (stdlib wave + one numpy rfft matrix op per
+    Arrow batch). Every feature has a closed form (exact periodicity:
+    rms == amp, zcr == n/p - 1, fundamental bin n/(2p) dominates by
+    >= 2.4x), so the DuckDB oracle checks real DSP output exactly."""
+    from featuregenerator_spark.operators.multimodal import (
+        audio_spectral_features,
+        synth_tone_wav_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    feats = audio_spectral_features(synth_tone_wav_assets(docs))
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_frames",
+        "zcr",
+        F.round("rms", 6).alias("rms"),
+        "dominant_bin",
+        F.round("dominant_hz", 6).alias("dominant_hz"),
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -2984,8 +3009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 6: text canonicalization; displaces
         # --- lookup_legacy_btree_decode (r03-green, unchanged) ---
         "text_normalize": q_text_normalize,
-        # --- never driver-checked before round 3 ---
-        "simhash_neardup": q_simhash_neardup,
+        # --- added in round 4 session 7: audio DSP features (batched
+        # --- rfft); displaces simhash_neardup (rows-only row recorded in
+        # --- r03, operator unchanged since) ---
+        "audio_spectral": q_audio_spectral,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
@@ -3106,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_wav_decode": q_multimodal_wav,
         "config_compiled": q_config_compiled,
+        # displaced to tail in r4 session 7 (unchanged; r03 driver rows)
+        "simhash_neardup": q_simhash_neardup,
     }
 
     def wrap(fn):
@@ -4246,6 +4275,21 @@ def oracle_sql() -> dict[str, str]:
                    round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
                    round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 6) AS rms
             FROM documents""",
+        "audio_spectral": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 5
+                                     WHEN 3 THEN 8 ELSE 10 END AS hp,
+                     1000 + (doc_id % 7) * 100 AS amp
+              FROM documents)
+            SELECT doc_id AS asset_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1600 AS INTEGER) AS n_frames,
+                   CAST(1600 / hp - 1 AS INTEGER) AS zcr,
+                   round(CAST(amp AS DOUBLE), 6) AS rms,
+                   CAST(1600 / (2 * hp) AS INTEGER) AS dominant_bin,
+                   round(4000.0 / hp, 6) AS dominant_hz
+            FROM p""",
         "config_compiled": """
             SELECT event_id,
                    'et_' || event_type AS et,

@@ -247,6 +247,82 @@ def test_wav_decode_real_codec(spark):
     assert r["rms"] == 3.0
 
 
+def test_audio_spectral_closed_forms(spark):
+    """audio_spectral_features recovers the square tone's closed forms —
+    rms == amp, zcr == n/p - 1, dominant FFT bin == n/(2p) — across every
+    (id % 5, id % 7) class."""
+    from pyspark.sql import functions as F
+
+    from featuregenerator_spark.operators.multimodal import (
+        audio_spectral_features,
+        synth_tone_wav_assets,
+    )
+
+    ids = spark.range(35).select(F.col("id").alias("asset_id"))
+    out = {
+        r["asset_id"]: r
+        for r in audio_spectral_features(synth_tone_wav_assets(ids)).collect()
+    }
+    for i in range(35):
+        r = out[i]
+        p = (2, 4, 5, 8, 10)[i % 5]
+        assert (r["sample_rate"], r["n_frames"]) == (8000, 1600)
+        assert r["rms"] == float(1000 + (i % 7) * 100)
+        assert r["zcr"] == 1600 // p - 1
+        assert r["dominant_bin"] == 1600 // (2 * p)
+        assert r["dominant_hz"] == r["dominant_bin"] * 8000.0 / 1600
+
+
+def test_audio_spectral_mixed_frame_counts(spark):
+    """The batched-FFT path groups payloads by frame count inside each
+    Arrow batch; heterogeneous lengths in ONE batch (and a sine payload,
+    not just squares) must come back in input order with per-length
+    correctness."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from featuregenerator_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    def wav(samples, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype(np.int16).tobytes())
+        return bytearray(buf.getvalue())
+
+    # 3 lengths interleaved: 512-sample sine at bin 16, 1024-sample square
+    # (half-period 8 -> bin 64), 256-sample constant (dominant bin != DC is
+    # the largest non-DC component; zcr 0)
+    sine = np.round(2000 * np.sin(2 * np.pi * 16 * np.arange(512) / 512))
+    sq = np.tile(np.r_[np.full(8, 900), np.full(8, -900)], 64)
+    const = np.full(256, 700)
+    rows = [
+        (0, "audio", wav(sine)),
+        (1, "audio", wav(sq)),
+        (2, "audio", wav(const)),
+        (3, "audio", wav(sq)),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary"
+    ).coalesce(1)
+    out = {r["asset_id"]: r for r in audio_spectral_features(df).collect()}
+    assert out[0]["n_frames"] == 512 and out[0]["dominant_bin"] == 16
+    assert abs(out[0]["rms"] - 2000 / np.sqrt(2)) < 1.0
+    for i in (1, 3):
+        assert out[i]["n_frames"] == 1024
+        assert out[i]["dominant_bin"] == 1024 // 16
+        assert out[i]["zcr"] == 1024 // 8 - 1
+        assert out[i]["rms"] == 900.0
+    assert out[2]["n_frames"] == 256 and out[2]["zcr"] == 0
+    assert out[2]["rms"] == 700.0
+
+
 def test_bmp_roundtrip_and_padding():
     """Pure-numpy BMP writer/reader: encode->decode identity for widths
     that do and don't need 4-byte row padding, bottom-up storage."""
