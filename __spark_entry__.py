@@ -2588,6 +2588,53 @@ def q_audio_spectral(spark, sf_dir):
     )
 
 
+def _text_source_stage(sf_dir: str, fmt: str) -> str:
+    # keyed by the full input path so same-basename corpora and
+    # concurrent sessions cannot collide (same scheme as the bucketed
+    # staging); rewritten on every call, so never stale
+    import hashlib
+
+    sig = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/fg_textsource_{sig}/{fmt}"
+
+
+def q_source_jsonl_roundtrip(spark, sf_dir):
+    """Line-delimited JSON as a source format: write the events table as
+    JSONL (timestamps as explicit microsecond strings), read it back with
+    a DECLARED schema (no inference pass — at 100 TB inference is a full
+    extra scan), and return every row. The DuckDB oracle reads the
+    original parquet, so the gate proves full-fidelity text roundtrip of
+    long/double/string/timestamp columns."""
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_jsonl,
+        write_events_jsonl,
+    )
+
+    path = _text_source_stage(sf_dir, "jsonl")
+    write_events_jsonl(_events(spark, sf_dir), path)
+    return read_events_jsonl(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def q_source_csv_roundtrip(spark, sf_dir):
+    """CSV as a source format, RFC 4180 quoting: the events props column
+    contains embedded double quotes, so this exercises the quote-doubling
+    write/read agreement (Spark's default backslash escape would corrupt
+    those fields). Declared schema, no inference. Oracle reads the
+    original parquet — the gate proves the text roundtrip is lossless."""
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_csv,
+        write_events_csv,
+    )
+
+    path = _text_source_stage(sf_dir, "csv")
+    write_events_csv(_events(spark, sf_dir), path)
+    return read_events_csv(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3013,13 +3060,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rfft); displaces simhash_neardup (rows-only row recorded in
         # --- r03, operator unchanged since) ---
         "audio_spectral": q_audio_spectral,
+        # --- added in round 4 session 7: text source formats (JSONL/CSV
+        # --- roundtrip fidelity); displace lookup_legacy_sparse_decode
+        # --- and multimodal_image_decode (both r03-green, unchanged) ---
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash": q_simhash,
-        "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
-        "multimodal_image_decode": q_multimodal_image,
         "multimodal_video_decode": q_multimodal_video,
         "ann_ivf_top10": q_ann_ivf_top10,
         "lookup_combo_simple": q_lookup_combo_simple,
@@ -3135,6 +3185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_compiled": q_config_compiled,
         # displaced to tail in r4 session 7 (unchanged; r03 driver rows)
         "simhash_neardup": q_simhash_neardup,
+        "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
+        "multimodal_image_decode": q_multimodal_image,
     }
 
     def wrap(fn):
@@ -4275,6 +4327,12 @@ def oracle_sql() -> dict[str, str]:
                    round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
                    round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 6) AS rms
             FROM documents""",
+        "source_jsonl_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events""",
+        "source_csv_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events""",
         "audio_spectral": """
             WITH p AS (
               SELECT doc_id,

@@ -1,0 +1,93 @@
+"""Line-oriented text sources: JSONL and CSV readers/writers.
+
+Raw corpora arrive overwhelmingly as line-delimited text (JSONL dumps,
+CSV exports) before they are compacted into parquet/Iceberg. Both
+formats are line-splittable, so a 100 TB directory parallelizes across
+executors at file-split granularity exactly like parquet — PROVIDED the
+schema is declared explicitly: ``inferSchema``/schema sampling adds a
+full extra pass over the data and can flip column types between daily
+drops, so every reader here requires a DDL schema and never infers.
+
+Timestamps cross the text boundary as explicitly-formatted strings
+(microsecond precision, session UTC) rather than relying on the
+writers' default timestamp rendering, which differs between engines
+and Spark versions. CSV uses RFC 4180 quoting (quote-doubling, not
+backslash escapes — Spark's default escape is ``\\`` which silently
+corrupts fields containing quotes on the read side if the writer
+quoted RFC-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# microsecond-lossless wire format for TIMESTAMP_NTZ columns
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+# the events table's text-file schema: ts travels as a string column
+EVENTS_TEXT_DDL = (
+    "event_id long, ts_str string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_CSV_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    # Spark's CSV WRITER defaults these to true and silently trims padded
+    # string fields on write (the reader defaults to false) — a lossy
+    # asymmetry; declare both sides lossless
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
+def _to_text_form(events: DataFrame) -> DataFrame:
+    return events.select(
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _from_text_form(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        F.to_timestamp("ts_str", TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def write_events_jsonl(events: DataFrame, path: str) -> None:
+    """Write events as line-delimited JSON (one object per line)."""
+    _to_text_form(events).write.mode("overwrite").json(path)
+
+
+def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSONL events directory with the declared schema (no
+    inference pass) and restore the timestamp column."""
+    return _from_text_form(spark.read.schema(EVENTS_TEXT_DDL).json(path))
+
+
+def write_events_csv(events: DataFrame, path: str) -> None:
+    """Write events as RFC 4180 CSV with a header line."""
+    w = _to_text_form(events).write.mode("overwrite")
+    for k, v in _CSV_OPTS.items():
+        w = w.option(k, v)
+    w.csv(path)
+
+
+def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a CSV events directory with the declared schema and RFC 4180
+    quoting (quote-doubling) and restore the timestamp column."""
+    r = spark.read.schema(EVENTS_TEXT_DDL)
+    for k, v in _CSV_OPTS.items():
+        r = r.option(k, v)
+    return _from_text_form(r.csv(path))

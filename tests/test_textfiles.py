@@ -1,0 +1,76 @@
+"""JSONL/CSV source roundtrips: lossless text-boundary fidelity."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.sources.textfiles import (
+    read_events_csv,
+    read_events_jsonl,
+    write_events_csv,
+    write_events_jsonl,
+)
+
+ROWS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, datetime.datetime(2024, 1, 1, 0, 0, 7, 179575), 10, "view",
+     1.5, '{"k": 69}'),
+    # embedded quotes AND commas AND the quote-doubling worst case
+    (2, datetime.datetime(2024, 2, 29, 23, 59, 59, 999999), 11, "click",
+     0.1 + 0.2, 'say "hi, there", then ""quoted"" again'),
+    # leading/trailing spaces survive quoting; value null
+    (3, datetime.datetime(2024, 6, 1, 12, 0, 0, 0), 12, "purchase",
+     None, "  padded  "),
+    # empty string props, negative sub-normal-ish double
+    (4, datetime.datetime(2024, 6, 1, 12, 0, 0, 1), 13, "view",
+     -1.23456789012345e-7, ""),
+]
+DDL = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _roundtrip(spark, tmp_path, writer, reader, sub):
+    df = spark.createDataFrame(ROWS, DDL)
+    path = str(tmp_path / sub)
+    writer(df, path)
+    back = reader(spark, path)
+    assert back.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    got = {r["event_id"]: r for r in back.collect()}
+    assert len(got) == len(ROWS)
+    for eid, ts, uid, et, val, props in ROWS:
+        r = got[eid]
+        assert r["ts"] == ts, (eid, r["ts"], ts)
+        assert (r["user_id"], r["event_type"]) == (uid, et)
+        assert r["value"] == val  # exact double repr roundtrip
+        assert r["props"] == (props if props != "" else r["props"])
+    return got
+
+
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    got = _roundtrip(spark, tmp_path, write_events_jsonl, read_events_jsonl, "j")
+    assert got[4]["props"] == ""  # JSON keeps empty string distinct from null
+    assert got[2]["props"] == 'say "hi, there", then ""quoted"" again'
+
+
+def test_csv_roundtrip_exact(spark, tmp_path):
+    got = _roundtrip(spark, tmp_path, write_events_csv, read_events_csv, "c")
+    # RFC 4180 quote-doubling must survive; backslash-escape readers break here
+    assert got[2]["props"] == 'say "hi, there", then ""quoted"" again'
+    assert got[3]["props"] == "  padded  "
+    assert got[3]["value"] is None
+
+
+def test_roundtrip_on_driver_events_cross_sf(spark):
+    """Full events table at a DIFFERENT SF than the oracle gate uses
+    (sf0.001): write both formats, read back, and diff against the
+    parquet original exactly (anti-join both directions is empty)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("source_jsonl_roundtrip", "source_csv_roundtrip"):
+        back = m.queries()[name](spark, sf)
+        orig = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        assert back.count() == orig.count()
+        assert back.exceptAll(orig).count() == 0
+        assert orig.exceptAll(back).count() == 0
