@@ -1714,6 +1714,25 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF multi-assignment blocking (each
+    vector indexed into its 3 nearest of 8 deterministic spherical-
+    k-means cells), exact cosine only WITHIN cells, pointer-jumping CC
+    over the surviving edges, keep the minimum id per semantic-duplicate
+    component. Deterministic end-to-end (xxhash64 seeds, no RNG) but the
+    k-means is iterative -> rows-only check; edge recall >= 0.95 vs the
+    unblocked brute-force edge set and decision parity vs global-edge CC
+    are pinned in tests/test_invariants.py. At 100 TB the per-cell pair
+    scans shard across executors and the candidate volume is ~n^1.5
+    (K ~ sqrt(n)) instead of n^2."""
+    from featuregenerator_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semdedup(emb, dim=64).select(
+        "vec_id", "rep_id", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_streaming_snapshot_parity(spark, sf_dir):
     """Structured Streaming end-to-end as a DRIVER-CHECKED query: the
     events table rides through readStream -> applyInPandasWithState
@@ -3065,11 +3084,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- and multimodal_image_decode (both r03-green, unchanged) ---
         "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "source_csv_roundtrip": q_source_csv_roundtrip,
+        # --- added in round 4 session 7: SemDeDup semantic dedup
+        # --- (rows-only: iterative k-means); displaces simhash
+        # --- (rows-only r03 row, operator unchanged) ---
+        "semdedup_prune": q_semdedup_prune,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "simhash": q_simhash,
         "multimodal_video_decode": q_multimodal_video,
         "ann_ivf_top10": q_ann_ivf_top10,
         "lookup_combo_simple": q_lookup_combo_simple,
@@ -3187,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
+        "simhash": q_simhash,
     }
 
     def wrap(fn):

@@ -20,6 +20,9 @@ ROWS_ONLY = {
     "dedup_cc_lsh",
     "dedup_incremental_lsh",
     "minhash_lsh_candidates",
+    # iterative k-means blocking; edge-recall >= 0.95 + global-CC decision
+    # parity pins live in tests/test_invariants.py
+    "semdedup_prune",
     "simhash",
     "simhash_neardup",
 }
