@@ -1714,6 +1714,31 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_sketch_distinct_users(spark, sf_dir):
+    """Theta-sketch distinct counting next to its exact baseline: per
+    event_type, exact countDistinct(user_id) and the deterministic
+    hash-threshold estimate (theta=0.25: only user_ids whose md5 draw
+    falls below '40000000' reach the distinct shuffle — the map-side
+    filter cuts shuffle volume to ~theta of the key space, which is the
+    actual count-distinct bottleneck at 100 TB). The draw rule is the
+    mixture resampler's md5-hex compare, identical in DuckDB, so the
+    SKETCH itself is oracle-checked exactly, not just the baseline;
+    accuracy and merge invariance are pinned in tests/test_sketches.py."""
+    from featuregenerator_spark.operators.sketches import theta_distinct
+
+    ev = _events(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    sk = theta_distinct(ev, "user_id", ["event_type"], theta=0.25)
+    return exact.join(sk, "event_type", "left").select(
+        "event_type",
+        "n_exact",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),
+    )
+
+
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): IVF multi-assignment blocking (each
     vector indexed into its 3 nearest of 8 deterministic spherical-
@@ -3088,11 +3113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (rows-only: iterative k-means); displaces simhash
         # --- (rows-only r03 row, operator unchanged) ---
         "semdedup_prune": q_semdedup_prune,
+        # --- added in round 4 session 7: oracle-checked theta sketch;
+        # --- displaces multimodal_video_decode (r03-green, unchanged) ---
+        "sketch_distinct_users": q_sketch_distinct_users,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "multimodal_video_decode": q_multimodal_video,
         "ann_ivf_top10": q_ann_ivf_top10,
         "lookup_combo_simple": q_lookup_combo_simple,
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
@@ -3210,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
         "simhash": q_simhash,
+        "multimodal_video_decode": q_multimodal_video,
     }
 
     def wrap(fn):
@@ -4350,6 +4378,22 @@ def oracle_sql() -> dict[str, str]:
                    round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
                    round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 6) AS rms
             FROM documents""",
+        "sketch_distinct_users": """
+            WITH s AS (
+              SELECT event_type, count(DISTINCT user_id) AS n_sampled
+              FROM events
+              WHERE substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 8)
+                    < '40000000'
+              GROUP BY event_type
+            ), x AS (
+              SELECT event_type, count(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT x.event_type,
+                   x.n_exact,
+                   coalesce(s.n_sampled, 0) AS n_sampled,
+                   round(coalesce(s.n_sampled, 0) / 0.25, 6) AS est_distinct
+            FROM x LEFT JOIN s ON x.event_type = s.event_type""",
         "source_jsonl_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
