@@ -1714,6 +1714,29 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_ewma_decayed_activity(spark, sf_dir):
+    """Exponentially time-decayed activity features (half-life 1 day):
+    the recency-weighted prior-event count and prior-value sum every
+    feature store keeps, with no window-edge cliff. The recurrence
+    factors into a pure range-frame window (plans/temporal.py
+    with_decayed_sum) — same single hash(user) Exchange + sort as the
+    other window features, zero per-row Python — and the identical
+    factored formula runs in DuckDB, so the decayed values themselves
+    are oracle-checked (strictly-prior semantics: zero leakage)."""
+    from featuregenerator_spark.plans.temporal import with_decayed_sum
+
+    ev = _events(spark, sf_dir)
+    out = with_decayed_sum(ev, 86400.0, "decayed_count", conv="user_id")
+    out = with_decayed_sum(
+        out, 86400.0, "decayed_value", value=F.col("value"), conv="user_id"
+    )
+    return out.select(
+        "event_id",
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_value", 6).alias("decayed_value"),
+    )
+
+
 def q_sketch_distinct_users(spark, sf_dir):
     """Theta-sketch distinct counting next to its exact baseline: per
     event_type, exact countDistinct(user_id) and the deterministic
@@ -3116,12 +3139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 7: oracle-checked theta sketch;
         # --- displaces multimodal_video_decode (r03-green, unchanged) ---
         "sketch_distinct_users": q_sketch_distinct_users,
+        # --- added in round 4 session 7: time-decayed EWMA features;
+        # --- displaces lookup_combo_simple (r03-green, unchanged) ---
+        "ewma_decayed_activity": q_ewma_decayed_activity,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_ivf_top10": q_ann_ivf_top10,
-        "lookup_combo_simple": q_lookup_combo_simple,
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
@@ -3238,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image,
         "simhash": q_simhash,
         "multimodal_video_decode": q_multimodal_video,
+        "lookup_combo_simple": q_lookup_combo_simple,
     }
 
     def wrap(fn):
@@ -4378,6 +4404,24 @@ def oracle_sql() -> dict[str, str]:
                    round((800 + (doc_id % 5) * 80) / 8000.0, 6) AS duration_s,
                    round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 6) AS rms
             FROM documents""",
+        "ewma_decayed_activity": """
+            WITH e AS (
+              SELECT event_id, user_id, value, epoch(ts) AS tsec,
+                     epoch(ts) - min(epoch(ts))
+                       OVER (PARTITION BY user_id) AS rel
+              FROM events
+            )
+            SELECT event_id,
+                   round(exp(-8.022536812036404e-06 * rel)
+                         * sum(exp(8.022536812036404e-06 * rel)) OVER w
+                         - 1.0, 6) AS decayed_count,
+                   round(exp(-8.022536812036404e-06 * rel)
+                         * sum(exp(8.022536812036404e-06 * rel) * value)
+                           OVER w
+                         - value, 6) AS decayed_value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "sketch_distinct_users": """
             WITH s AS (
               SELECT event_type, count(DISTINCT user_id) AS n_sampled

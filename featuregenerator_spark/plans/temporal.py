@@ -199,6 +199,59 @@ def with_rolling_agg(
     return df.withColumn(out, merged).drop("__us", "__mg")
 
 
+def with_decayed_sum(
+    df: DataFrame,
+    half_life_seconds: float,
+    out: str,
+    value: Column | None = None,
+    conv: str = CONV,
+    ts_sec: str = TS_SEC,
+    include_current: bool = False,
+) -> DataFrame:
+    """Exponentially time-decayed running sum (EWMA-style feature):
+    ``sum_j value_j * 2^(-(t_i - t_j)/half_life)`` over turns at or
+    before t_i — the decayed activity counter every feature store keeps
+    (recency-weighted counts/sums with no window-edge cliff). ``value``
+    None counts turns (value 1 each).
+
+    The recurrence factors into a PURE range-frame window —
+    ``exp(-lam*t_i) * sum(exp(lam*t_j) * x_j)`` with timestamps anchored
+    to the partition's min — so it runs in the same single
+    hash(conv)-Exchange + sort as every other window feature (no pandas
+    state, no second shuffle; the anchor min() is an unordered window
+    over the same partitioning). Numerical contract: the anchored
+    exponent ``lam*(t_max - t_min)`` must stay under ~700 per partition
+    or exp() overflows — asserted per row (loud, not inf). That bounds
+    one partition's time span to ~1000 half-lives, far beyond any
+    useful decay horizon; longer spans chunk by time exactly like
+    plans/skew.py windows.
+
+    ``include_current=False`` (the leakage-safe default) subtracts the
+    current row's own term (decay factor exactly 1); rows tied on the
+    exact timestamp remain included, matching with_rolling_count's
+    tied-peer contract."""
+    import math
+
+    lam = math.log(2.0) / float(half_life_seconds)
+    x = value if value is not None else F.lit(1.0)
+    anchor = F.min(F.col(ts_sec)).over(Window.partitionBy(*_parts(conv)))
+    rel = F.col(ts_sec) - anchor
+    guard = F.assert_true(
+        lam * rel <= F.lit(700.0),
+        F.lit("decayed_sum: partition time span exceeds ~1000 half-lives"),
+    )
+    grown = F.exp(F.lit(lam) * rel) * x
+    w = (
+        Window.partitionBy(*_parts(conv))
+        .orderBy(F.col(ts_sec))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    s = F.exp(-F.lit(lam) * rel) * F.sum(grown).over(w)
+    if not include_current:
+        s = s - F.coalesce(x, F.lit(0.0))
+    return df.withColumn(out, F.when(guard.isNull(), s))
+
+
 def with_gap_since_match(
     df: DataFrame,
     predicate: Column,

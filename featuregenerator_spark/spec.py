@@ -96,6 +96,7 @@ _TEMPORAL_TYPES = {
     "gap_feature",
     "rolling_count",
     "rolling_agg",
+    "decayed_sum",
     "gap_since_match",
     "sessionize",
     "lag_lead",
@@ -191,6 +192,7 @@ _CURATION_METRIC_VOCAB = {
 _TEMPORAL_REQUIRED = {
     "rolling_count": ("window_seconds",),
     "rolling_agg": ("window_seconds", "expression", "agg"),
+    "decayed_sum": ("half_life_seconds",),
     "gap_since_match": ("filter", "timediff"),
     "sessionize": ("gap_seconds",),
     "lag_lead": ("columns",),
@@ -273,7 +275,12 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                 "gap", "gap_min"
             ) not in ("gap_min", "gap_max"):
                 raise ValueError(f"{name}: gap must be gap_min or gap_max")
-            for wkey in ("window_seconds", "timediff", "gap_seconds"):
+            for wkey in (
+                "window_seconds",
+                "timediff",
+                "gap_seconds",
+                "half_life_seconds",
+            ):
                 if wkey in params and ftype in _TEMPORAL_REQUIRED and wkey in _TEMPORAL_REQUIRED[ftype]:
                     if not float(params[wkey]) > 0:
                         raise ValueError(f"{name}: {wkey} must be positive")
@@ -788,6 +795,16 @@ def _apply_temporal(
             conv=conv,
             ts_sec=ts_sec,
             include_current=p.get("include_current", True),
+        )
+    if t == "decayed_sum":
+        return temporal.with_decayed_sum(
+            df,
+            float(p["half_life_seconds"]),
+            name,
+            value=F.expr(p["expression"]) if p.get("expression") else None,
+            conv=conv,
+            ts_sec=ts_sec,
+            include_current=p.get("include_current", False),
         )
     if t == "gap_since_match":
         return temporal.with_gap_since_match(

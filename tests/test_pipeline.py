@@ -180,3 +180,45 @@ def test_temporal_spec_validation():
     with pytest.raises(ValueError, match="expression"):
         parse_config({"features": [
             {"feature_type": "derive", "feature_name": "x"}]})
+
+
+def test_decayed_sum_declared_in_json(spark, transcripts):
+    """The decayed_sum spec type compiles to exactly with_decayed_sum,
+    for both the count form and an expression-weighted form; validation
+    rejects a missing/zero half-life at parse time."""
+    import pytest
+
+    from featuregenerator_spark.spec import compile_pipeline, parse_config
+
+    cfg = {
+        "defaults": {"partition_by": "conv_id",
+                     "order_by": ["turn_idx", "ts"],
+                     "ts_seconds_column": "ts_sec"},
+        "features": [
+            {"feature_type": "ts_seconds", "feature_name": "ts_sec"},
+            {"feature_type": "decayed_sum", "feature_name": "dc",
+             "half_life_seconds": 1800},
+            {"feature_type": "decayed_sum", "feature_name": "dv",
+             "half_life_seconds": 1800, "expression": "length(text)",
+             "include_current": True},
+        ],
+    }
+    declared = compile_pipeline(cfg, transcripts).select(
+        "conv_id", "turn_idx", "dc", "dv"
+    )
+    base = temporal.with_ts_seconds(transcripts)
+    built = temporal.with_decayed_sum(base, 1800.0, "dc")
+    built = temporal.with_decayed_sum(
+        built, 1800.0, "dv", value=F.length("text").cast("double"),
+        include_current=True,
+    ).select("conv_id", "turn_idx", "dc", "dv")
+    assert declared.exceptAll(built).count() == 0
+    assert built.exceptAll(declared).count() == 0
+
+    with pytest.raises(ValueError, match="half_life_seconds"):
+        parse_config({"features": [
+            {"feature_type": "decayed_sum", "feature_name": "x"}]})
+    with pytest.raises(ValueError, match="positive"):
+        parse_config({"features": [
+            {"feature_type": "decayed_sum", "feature_name": "x",
+             "half_life_seconds": 0}]})

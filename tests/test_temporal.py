@@ -303,3 +303,53 @@ def test_rolling_agg_exclusive_tied_timestamps(spark):
             one, 3600.0, F.col("v"), agg, "o", include_current=False
         )
         assert out.collect()[0]["o"] is None
+
+
+def test_decayed_sum_matches_direct_computation(spark, transcripts):
+    """with_decayed_sum's factored window form must equal the direct
+    O(n^2) definition sum_j x_j * 2^(-(t_i-t_j)/HL) over strictly-prior
+    turns, at every (conv_id, turn_idx)."""
+    hl = 1800.0
+    df = temporal.with_ts_seconds(transcripts)
+    out = temporal.with_decayed_sum(df, hl, "dc")
+    rows = _rows_by_conv(out, ["turn_idx", "ts_sec", "dc"])
+    for conv, turns in rows.items():
+        for i, r in enumerate(turns):
+            want = sum(
+                2.0 ** (-(r["ts_sec"] - p["ts_sec"]) / hl)
+                for p in turns
+                if p["ts_sec"] <= r["ts_sec"] and p is not r
+            )
+            assert r["dc"] == pytest.approx(want, abs=1e-9), (conv, i)
+
+
+def test_decayed_sum_include_current_and_value(spark):
+    """include_current adds exactly the current row's own value (decay
+    1); a value column weights each term."""
+    df = spark.createDataFrame(
+        [("c", 0, 0.0, 2.0), ("c", 1, 1800.0, 4.0), ("c", 2, 3600.0, 8.0)],
+        "conv_id string, turn_idx int, ts_sec double, v double",
+    )
+    excl = temporal.with_decayed_sum(df, 1800.0, "d", value=F.col("v"))
+    incl = temporal.with_decayed_sum(
+        df, 1800.0, "d", value=F.col("v"), include_current=True
+    )
+    ge = {r["turn_idx"]: r["d"] for r in excl.collect()}
+    gi = {r["turn_idx"]: r["d"] for r in incl.collect()}
+    assert ge[0] == pytest.approx(0.0)
+    assert ge[1] == pytest.approx(2.0 * 0.5)        # one half-life back
+    assert ge[2] == pytest.approx(2.0 * 0.25 + 4.0 * 0.5)
+    for k in (0, 1, 2):
+        assert gi[k] == pytest.approx(ge[k] + {0: 2.0, 1: 4.0, 2: 8.0}[k])
+
+
+def test_decayed_sum_overflow_guard_raises(spark):
+    """A partition spanning more than ~1000 half-lives must fail loudly
+    (assert_true), not return inf."""
+    df = spark.createDataFrame(
+        [("c", 0, 0.0), ("c", 1, 2000.0 * 3600.0)],
+        "conv_id string, turn_idx int, ts_sec double",
+    )
+    out = temporal.with_decayed_sum(df, 3600.0, "d")
+    with pytest.raises(Exception, match="half-lives"):
+        out.collect()
