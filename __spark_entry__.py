@@ -1737,28 +1737,48 @@ def q_ewma_decayed_activity(spark, sf_dir):
     )
 
 
-def q_sketch_distinct_users(spark, sf_dir):
-    """Theta-sketch distinct counting next to its exact baseline: per
-    event_type, exact countDistinct(user_id) and the deterministic
-    hash-threshold estimate (theta=0.25: only user_ids whose md5 draw
-    falls below '40000000' reach the distinct shuffle — the map-side
-    filter cuts shuffle volume to ~theta of the key space, which is the
-    actual count-distinct bottleneck at 100 TB). The draw rule is the
-    mixture resampler's md5-hex compare, identical in DuckDB, so the
-    SKETCH itself is oracle-checked exactly, not just the baseline;
-    accuracy and merge invariance are pinned in tests/test_sketches.py."""
-    from featuregenerator_spark.operators.sketches import theta_distinct
+def q_sketch_profile_events(spark, sf_dir):
+    """The theta-sketch profiling battery next to its exact baselines,
+    per event_type: distinct-user estimate (deterministic md5 key draw,
+    theta=0.25 — only sampled keys reach the distinct shuffle, the
+    actual count-distinct bottleneck at 100 TB) and value-quantile
+    estimates (p50/p95 over the md5 ROW sample; the sample is the
+    mergeable object — union of per-batch samples == sample of the
+    union — and the per-group sort shrinks to ~theta of the rows). The
+    draw rule is the mixture resampler's md5-hex compare and Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit, so the
+    SKETCH OUTPUTS themselves are oracle-checked exactly, not just the
+    exact baselines; accuracy and merge invariance are pinned in
+    tests/test_sketches.py."""
+    from featuregenerator_spark.operators.sketches import (
+        theta_distinct,
+        theta_quantiles,
+    )
 
     ev = _events(spark, sf_dir)
     exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
+        F.countDistinct("user_id").alias("n_exact"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("value", F.lit(0.95)).alias("p95_exact"),
     )
     sk = theta_distinct(ev, "user_id", ["event_type"], theta=0.25)
-    return exact.join(sk, "event_type", "left").select(
-        "event_type",
-        "n_exact",
-        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
-        F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),
+    qk = theta_quantiles(
+        ev, "value", ["event_type"], [0.5, 0.95], row_key="event_id"
+    ).withColumnRenamed("n_sampled", "n_rows_sampled")
+    return (
+        exact.join(sk, "event_type", "left")
+        .join(qk, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            F.coalesce("n_rows_sampled", F.lit(0)).alias("n_rows_sampled"),
+            F.round("q_0_5", 6).alias("p50_est"),
+            F.round("q_0_95", 6).alias("p95_est"),
+        )
     )
 
 
@@ -3136,9 +3156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (rows-only: iterative k-means); displaces simhash
         # --- (rows-only r03 row, operator unchanged) ---
         "semdedup_prune": q_semdedup_prune,
-        # --- added in round 4 session 7: oracle-checked theta sketch;
-        # --- displaces multimodal_video_decode (r03-green, unchanged) ---
-        "sketch_distinct_users": q_sketch_distinct_users,
+        # --- added in round 4 session 7: oracle-checked theta-sketch
+        # --- battery (distinct-count + quantile estimates); displaces
+        # --- multimodal_video_decode (r03-green, unchanged) ---
+        "sketch_profile_events": q_sketch_profile_events,
         # --- added in round 4 session 7: time-decayed EWMA features;
         # --- displaces lookup_combo_simple (r03-green, unchanged) ---
         "ewma_decayed_activity": q_ewma_decayed_activity,
@@ -4422,22 +4443,41 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY tsec
                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
-        "sketch_distinct_users": """
+        "sketch_profile_events": """
             WITH s AS (
               SELECT event_type, count(DISTINCT user_id) AS n_sampled
               FROM events
               WHERE substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 8)
                     < '40000000'
               GROUP BY event_type
+            ), q AS (
+              SELECT event_type,
+                     count(*) AS n_rows_sampled,
+                     quantile_cont(value, 0.5) AS p50_est,
+                     quantile_cont(value, 0.95) AS p95_est
+              FROM events
+              WHERE substr(md5('theta:' || CAST(event_id AS VARCHAR)), 1, 8)
+                    < '40000000'
+              GROUP BY event_type
             ), x AS (
-              SELECT event_type, count(DISTINCT user_id) AS n_exact
+              SELECT event_type,
+                     count(DISTINCT user_id) AS n_exact,
+                     quantile_cont(value, 0.5) AS p50_exact,
+                     quantile_cont(value, 0.95) AS p95_exact
               FROM events GROUP BY event_type
             )
             SELECT x.event_type,
                    x.n_exact,
                    coalesce(s.n_sampled, 0) AS n_sampled,
-                   round(coalesce(s.n_sampled, 0) / 0.25, 6) AS est_distinct
-            FROM x LEFT JOIN s ON x.event_type = s.event_type""",
+                   round(coalesce(s.n_sampled, 0) / 0.25, 6) AS est_distinct,
+                   round(x.p50_exact, 6) AS p50_exact,
+                   round(x.p95_exact, 6) AS p95_exact,
+                   coalesce(q.n_rows_sampled, 0) AS n_rows_sampled,
+                   round(q.p50_est, 6) AS p50_est,
+                   round(q.p95_est, 6) AS p95_est
+            FROM x
+            LEFT JOIN s ON x.event_type = s.event_type
+            LEFT JOIN q ON x.event_type = q.event_type""",
         "source_jsonl_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",

@@ -55,6 +55,37 @@ def _draw(key: Column) -> Column:
     )
 
 
+def theta_quantiles(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str],
+    probs: list[float],
+    row_key: str,
+    theta: float = 0.25,
+) -> DataFrame:
+    """Per-group quantile estimates from the deterministic hash sample.
+
+    Rows whose ``row_key`` draw falls below theta form the sample (the
+    SAMPLE is the mergeable object: a union of per-partition/per-day
+    samples is exactly the sample of the union, so sketches compose
+    across ingest batches); quantiles are computed exactly over the
+    sample with linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit, so the estimate itself is
+    engine-portable. The full-data exact quantile needs a per-group sort
+    of EVERY row; the sample cuts that sort (and the shuffle feeding it)
+    to ~theta of the data for a ~1/sqrt(theta*n) relative rank error.
+
+    Returns group_cols + ``n_sampled`` + one ``q_<prob>`` column per
+    requested probability."""
+    thresh, _ = theta_threshold(theta)
+    sampled = df.filter(_draw(F.col(row_key)) < F.lit(thresh))
+    aggs = [F.count(F.lit(1)).alias("n_sampled")] + [
+        F.percentile(value, F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    return sampled.groupBy(*group_cols).agg(*aggs)
+
+
 def theta_distinct(
     df: DataFrame,
     key: str,

@@ -74,3 +74,30 @@ def test_duplicate_rows_do_not_inflate(spark):
         r2["n_sampled"],
         r2["est_distinct"],
     )
+
+
+def test_quantile_sketch_accuracy_and_sample_merge(spark):
+    """Quantile estimates from the row sample: rank error shrinks as
+    1/sqrt(theta*n) — pin p50/p95 within 2% of truth on a uniform
+    100k-row group — and the SAMPLE merges: computing the sketch over
+    two disjoint row halves unioned equals the whole-data sketch."""
+    from featuregenerator_spark.operators.sketches import theta_quantiles
+
+    df = spark.range(100000).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 10000).cast("double").alias("v"),
+    )
+    (r,) = theta_quantiles(df, "v", ["g"], [0.5, 0.95], "rid").collect()
+    assert abs(r["q_0_5"] - 5000.0) / 10000 < 0.02, r["q_0_5"]
+    assert abs(r["q_0_95"] - 9500.0) / 10000 < 0.02, r["q_0_95"]
+
+    halves = df.filter(F.col("rid") < 50000).unionAll(
+        df.filter(F.col("rid") >= 50000)
+    )
+    (r2,) = theta_quantiles(halves, "v", ["g"], [0.5, 0.95], "rid").collect()
+    assert (r["n_sampled"], r["q_0_5"], r["q_0_95"]) == (
+        r2["n_sampled"],
+        r2["q_0_5"],
+        r2["q_0_95"],
+    )
