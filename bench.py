@@ -308,6 +308,7 @@ def main() -> None:
     incremental: dict[str, float] = {}
     substring: dict[str, float] = {}
     text_ops: dict[str, float] = {}
+    session7: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -355,6 +356,24 @@ def main() -> None:
             ),
         )
 
+        # session-7 family (round 4): EWMA decayed window features, the
+        # theta-sketch profiling battery, SemDeDup semantic dedup, audio
+        # DSP features, and the JSONL/CSV source roundtrips — non-headline
+        # like the other post-r2 families. The source roundtrips time a
+        # full write+read+scan cycle, not just a scan.
+        session7 = _time_family(
+            qmap,
+            spark,
+            (
+                "ewma_decayed_activity",
+                "sketch_profile_events",
+                "semdedup_prune",
+                "audio_spectral",
+                "source_jsonl_roundtrip",
+                "source_csv_roundtrip",
+            ),
+        )
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -377,6 +396,7 @@ def main() -> None:
                 "dedup_incremental": incremental,
                 "substring_dedup": substring,
                 "text_ops": text_ops,
+                "session7_ops": session7,
                 "curation": curation,
             }
         )
