@@ -1714,6 +1714,48 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_interval_session_assign(spark, sf_dir):
+    """Range join (point-in-interval) via time bucketing: assign events
+    to +/-2000s-padded session windows by CONTAINMENT (the pad exceeds
+    the 1800s session gap, so events near a boundary genuinely match
+    two windows — a real 1-to-many range join, not a relabeling). Spark has no native range-join operator; the naive
+    key-equijoin + BETWEEN filter evaluates O(points x intervals) pairs
+    per key. plans/interval.py explodes each interval into the hourly
+    buckets it covers and equijoins on (user, bucket), so only
+    bucket-local pairs are ever materialized. The DuckDB oracle is the
+    naive BETWEEN join over the same sessionize-composed windows — the
+    gate proves bucketed == naive."""
+    from featuregenerator_spark.plans.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(_W_USER())
+    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    idx = F.sum(boundary).over(
+        _W_USER().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        ev.withColumn("session_idx", idx.cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            (F.min("ts_sec") - 2000).alias("win_start"),
+            (F.max("ts_sec") + 2000).alias("win_end"),
+        )
+    )
+    points = ev.select("user_id", "event_id", "ts_sec")
+    out = interval_join(
+        points,
+        sess,
+        on="user_id",
+        point_ts="ts_sec",
+        start_ts="win_start",
+        end_ts="win_end",
+        bucket_seconds=3600.0,
+    )
+    return out.select(
+        "event_id", F.col("session_idx").alias("matched_session")
+    )
+
+
 def q_ewma_decayed_activity(spark, sf_dir):
     """Exponentially time-decayed activity features (half-life 1 day):
     the recency-weighted prior-event count and prior-value sum every
@@ -3163,6 +3205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added in round 4 session 7: time-decayed EWMA features;
         # --- displaces lookup_combo_simple (r03-green, unchanged) ---
         "ewma_decayed_activity": q_ewma_decayed_activity,
+        # --- added in round 4 session 7: bucketed range join; displaces
+        # --- backfill_purchase_chunked (r03-green; skew.py's r4 change is
+        # --- purely additive and backfill_purchase_auto keeps the chunked
+        # --- backfill path driver-covered) ---
+        "interval_session_assign": q_interval_session_assign,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
@@ -3171,7 +3218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
-        "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
@@ -3285,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "multimodal_video_decode": q_multimodal_video,
         "lookup_combo_simple": q_lookup_combo_simple,
+        "backfill_purchase_chunked": q_backfill_purchase_chunked,
     }
 
     def wrap(fn):
@@ -4792,6 +4839,21 @@ def oracle_sql() -> dict[str, str]:
                max(e.event_id) AS max_event_id
         FROM events e JOIN ss ON e.event_id = ss.event_id
         GROUP BY e.user_id, ss.session_idx"""
+    # interval_session_assign: the NAIVE BETWEEN range join over the same
+    # sessionize-composed +/-60s windows — the gate proves the bucketed
+    # range join (plans/interval.py) equals the naive formulation.
+    sql["interval_session_assign"] = f"""
+        WITH ss AS ({sql["sessionize_30m"]}),
+             b AS (
+               SELECT e.user_id, ss.session_idx,
+                      min(epoch(e.ts)) - 2000 AS win_start,
+                      max(epoch(e.ts)) + 2000 AS win_end
+               FROM events e JOIN ss ON e.event_id = ss.event_id
+               GROUP BY e.user_id, ss.session_idx)
+        SELECT e.event_id, b.session_idx AS matched_session
+        FROM events e
+        JOIN b ON e.user_id = b.user_id
+              AND epoch(e.ts) BETWEEN b.win_start AND b.win_end"""
     sql["config_compiled_temporal"] = f"""
         WITH gp AS ({sql["gap_seconds"]}),
              rc AS ({sql["rolling_count_1h"]}),
