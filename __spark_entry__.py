@@ -1442,6 +1442,47 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_image_phash_neardup(spark, sf_dir):
+    """Cross-modality near-dup: perceptual average-hash (aHash) over
+    DECODED image payloads, paired with the same 7-segment pigeonhole
+    equijoin the text SimHash path uses (Hamming <= 6 guarantees one
+    equal segment) and exact bit_count verification on bucket-local
+    pairs only. The synth plants near-duplicate groups (shared base
+    pattern + per-id brightness/pixel jitter — measured within-group
+    Hamming <= 3, cross-group >= 6); decode is not SQL-expressible ->
+    rows-only, with banded==brute parity and planted recall 1.0 /
+    precision >= 0.99 pinned in tests/test_image_phash.py."""
+    from featuregenerator_spark.operators.image_phash import (
+        ahash_images,
+        synth_neardup_bmp_assets,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    hashes = ahash_images(synth_neardup_bmp_assets(docs))
+    segs = hashes.select(
+        "asset_id",
+        "phash",
+        F.explode(F.array(*simhash_segments(F.col("phash")))).alias("s"),
+    ).select("asset_id", "phash", "s.seg", "s.val")
+    a, b = segs.alias("a"), segs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.asset_id") < F.col("b.asset_id")),
+    )
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        pairs.select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (ANN baseline)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -3210,6 +3251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- purely additive and backfill_purchase_auto keeps the chunked
         # --- backfill path driver-covered) ---
         "interval_session_assign": q_interval_session_assign,
+        # --- added in round 4 session 7: cross-modality perceptual-hash
+        # --- dedup (rows-only: image decode); displaces
+        # --- asof_last_purchase_chunked (r03-green; skew.py's r4 change
+        # --- is purely additive and asof_snapshot_auto keeps the chunked
+        # --- as-of path driver-covered) ---
+        "image_phash_neardup": q_image_phash_neardup,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
@@ -3217,7 +3264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top10": q_ann_ivf_top10,
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
-        "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
@@ -3332,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_decode": q_multimodal_video,
         "lookup_combo_simple": q_lookup_combo_simple,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
+        "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
     }
 
     def wrap(fn):

@@ -19,6 +19,9 @@ ROWS_ONLY = {
     "dedup_cc_incremental_lsh",
     "dedup_cc_lsh",
     "dedup_incremental_lsh",
+    # image decode is not SQL-expressible; banded==brute parity + planted
+    # recall/precision pins live in tests/test_image_phash.py
+    "image_phash_neardup",
     "minhash_lsh_candidates",
     # iterative k-means blocking; edge-recall >= 0.95 + global-CC decision
     # parity pins live in tests/test_invariants.py
