@@ -1755,6 +1755,30 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_streaming_decayed_parity(spark, sf_dir):
+    """Streaming EWMA as a DRIVER-CHECKED query: the events table rides
+    readStream -> applyInPandasWithState (state per user = TWO doubles:
+    the decayed count valued at the last timestamp + that timestamp —
+    O(1), never grows with history) -> memory sink, and the DuckDB
+    oracle is the batch EWMA formula's decayed_count column VERBATIM —
+    the gate itself proves streaming == batch for the time-decayed
+    feature family, including tied-timestamp semantics."""
+    from featuregenerator_spark.streaming.stream_features import (
+        read_event_stream,
+        run_stream_to_memory,
+        running_decayed_count,
+    )
+
+    stream = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = running_decayed_count(stream, half_life_seconds=86400.0)
+    name = "ev_decay_parity"
+    spark.catalog.dropTempView(name)
+    run_stream_to_memory(out, name)
+    return spark.table(name).select(
+        "event_id", F.round("decayed_count", 6).alias("decayed_count")
+    )
+
+
 def q_interval_session_assign(spark, sf_dir):
     """Range join (point-in-interval) via time bucketing: assign events
     to +/-2000s-padded session windows by CONTAINMENT (the pad exceeds
@@ -3257,13 +3281,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- is purely additive and asof_snapshot_auto keeps the chunked
         # --- as-of path driver-covered) ---
         "image_phash_neardup": q_image_phash_neardup,
+        # --- added in round 4 session 7: streaming EWMA parity; displaces
+        # --- sessionize_30m_chunked (r03-green; skew.py's r4 change is
+        # --- purely additive; rolling_count_1h_chunked stays in-window as
+        # --- the chunked-window family representative) ---
+        "streaming_decayed_parity": q_streaming_decayed_parity,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_ivf_top10": q_ann_ivf_top10,
         "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
-        "sessionize_30m_chunked": q_sessionize_30m_chunked,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
@@ -3379,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_combo_simple": q_lookup_combo_simple,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
+        "sessionize_30m_chunked": q_sessionize_30m_chunked,
     }
 
     def wrap(fn):
@@ -4901,6 +4930,12 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         JOIN b ON e.user_id = b.user_id
               AND epoch(e.ts) BETWEEN b.win_start AND b.win_end"""
+    # streaming_decayed_parity: the batch EWMA oracle composed verbatim —
+    # the gate itself proves the O(1)-state streaming EWMA equals the
+    # batch range-frame window formulation.
+    sql["streaming_decayed_parity"] = f"""
+        WITH x AS ({sql["ewma_decayed_activity"]})
+        SELECT event_id, decayed_count FROM x"""
     sql["config_compiled_temporal"] = f"""
         WITH gp AS ({sql["gap_seconds"]}),
              rc AS ({sql["rolling_count_1h"]}),

@@ -301,6 +301,90 @@ def running_event_snapshot(stream: DataFrame) -> DataFrame:
     )
 
 
+DECAY_STATE_DDL = "dc double, last_ts double"
+DECAY_OUT_DDL = "event_id long, decayed_count double"
+
+
+def running_decayed_count(
+    stream: DataFrame, half_life_seconds: float = 86400.0
+) -> DataFrame:
+    """Streaming EWMA — the canonical O(1)-state streaming feature: per
+    user, the exponentially time-decayed count of STRICTLY PRIOR events
+    (half-life parameterized), carried across micro-batches as exactly
+    two doubles of state (the decayed sum valued at the last seen
+    timestamp, and that timestamp). Where the batch form is a range-frame
+    window (plans/temporal.with_decayed_sum), the streaming form decays
+    the carried sum forward to each arrival — same math, O(1) state, so
+    state NEVER grows with history (unlike a windowed buffer).
+
+    Tied timestamps keep the batch contract (tied peers count with decay
+    exactly 1, self excluded), computed vectorized per micro-batch: an
+    exclusive-by-tie-group prefix of exp-weights plus a tie-size
+    correction — no per-row Python. For time-ordered arrival the output
+    equals the batch window formulation exactly (the driver oracle is
+    the batch EWMA SQL verbatim)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lam = math.log(2.0) / float(half_life_seconds)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            dc, last_ts = state.get
+        else:
+            dc, last_ts = 0.0, None
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            t = pdf["ts"].map(lambda x: x.timestamp()).to_numpy()
+            t0 = t[0]
+            carry0 = (
+                dc * math.exp(-lam * (t0 - last_ts))
+                if last_ts is not None
+                else 0.0
+            )
+            w = np.exp(lam * (t - t0))
+            # per-row: sum of weights over STRICTLY earlier timestamps =
+            # cumulative weight up to the row's tie-group start
+            new_grp = np.r_[True, np.diff(t) > 0]
+            grp_start = np.maximum.accumulate(
+                np.where(new_grp, np.arange(len(t)), 0)
+            )
+            cum = np.r_[0.0, np.cumsum(w)]
+            excl_lt = cum[grp_start]
+            # tied peers (same ts, decay factor exactly 1), self excluded
+            grp_id = np.cumsum(new_grp) - 1
+            grp_size = np.bincount(grp_id)[grp_id]
+            decayed = (
+                np.exp(-lam * (t - t0)) * (carry0 + excl_lt)
+                + (grp_size - 1.0)
+            )
+            out.append(
+                pd.DataFrame(
+                    {"event_id": pdf["event_id"], "decayed_count": decayed}
+                )
+            )
+            t_last = float(t[-1])
+            dc = math.exp(-lam * (t_last - t0)) * (carry0 + float(w.sum()))
+            last_ts = t_last
+        state.update((float(dc), last_ts))
+        yield from out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=DECAY_OUT_DDL,
+        stateStructType=DECAY_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def event_session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native gap sessionization over the events table: one row per
     session per user via ``F.session_window`` — the streaming engine's

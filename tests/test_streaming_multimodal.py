@@ -424,3 +424,48 @@ def test_streaming_session_gap_boundary_semantics(spark, tmp_path):
     batch = df.select("user_id", "event_id", idx.alias("session_idx")).collect()
     labels = {r.event_id: r.session_idx for r in batch}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_streaming_decayed_count_multibatch_parity(spark, transcripts, tmp_path):
+    """Streaming EWMA state must carry across micro-batches: run
+    running_decayed_count over two arrival batches (maxFilesPerTrigger=1)
+    and match the batch with_decayed_sum at every (conv_id, turn_idx) —
+    including rows whose prior history arrived in an earlier trigger."""
+    import pytest as pt
+
+    from featuregenerator_spark.plans import temporal
+    from featuregenerator_spark.streaming import stream_features as sf
+
+    src = str(tmp_path / "src")
+    _write_batches(transcripts, src)
+
+    stream = (
+        spark.readStream.schema(sf.TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    # transcripts key by conv_id; reuse the event-shaped operator by
+    # renaming (the operator groups by user_id and emits event_id)
+    renamed = stream.withColumnRenamed("conv_id", "user_id").withColumn(
+        "event_id",
+        (F.pmod(F.xxhash64("user_id"), F.lit(10**12)) * 1000
+         + F.col("turn_idx")).cast("long"),
+    )
+    out = sf.running_decayed_count(renamed, half_life_seconds=1800.0)
+    name = "decay_mb_parity"
+    spark.catalog.dropTempView(name)
+    sf.run_stream_to_memory(out, name)
+    got = {
+        r["event_id"]: r["decayed_count"] for r in spark.table(name).collect()
+    }
+
+    base = temporal.with_ts_seconds(transcripts)
+    want_df = temporal.with_decayed_sum(base, 1800.0, "dc").select(
+        (F.pmod(F.xxhash64("conv_id"), F.lit(10**12)) * 1000
+         + F.col("turn_idx")).cast("long").alias("event_id"),
+        "dc",
+    )
+    want = {r["event_id"]: r["dc"] for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pt.approx(want[k], abs=1e-9), k
