@@ -1755,6 +1755,36 @@ def q_dedup_cc_cosine(spark, sf_dir):
     )
 
 
+def q_chunk_pack_documents(spark, sf_dir):
+    """The training-batch tail: chunk documents into overlapping token
+    windows (max 40 tokens, overlap 8 — context-window fitting), then
+    pack chunks into capacity-256 bins per source (contiguous
+    deterministic packing: exclusive running token total -> floor by
+    capacity). Chunking is ONE map-only sequence/slice HOF per row (no
+    shuffle, no UDF); packing is a per-source window. Both stages are
+    fully DuckDB-oracle-checked, chunk CONTENT included (md5 of the
+    rejoined tokens)."""
+    from featuregenerator_spark.operators.chunk_pack import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    ch = chunk_documents(docs, max_tokens=40, overlap=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_chunks(ch, capacity=256, by=["source"])
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_md5"),
+        F.col("chunk_tokens").cast("int").alias("chunk_tokens"),
+        "source",
+        "pack_id",
+        "pack_offset",
+    )
+
+
 def q_streaming_decayed_parity(spark, sf_dir):
     """Streaming EWMA as a DRIVER-CHECKED query: the events table rides
     readStream -> applyInPandasWithState (state per user = TWO doubles:
@@ -3286,12 +3316,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- purely additive; rolling_count_1h_chunked stays in-window as
         # --- the chunked-window family representative) ---
         "streaming_decayed_parity": q_streaming_decayed_parity,
+        # --- added in round 4 session 7: chunk + pack (the training-batch
+        # --- tail); displaces rolling_count_1h_chunked (r03-green;
+        # --- skew.py's r4 change is purely additive — the whole chunked
+        # --- family now holds r03 rows at the tail, with the skew-stress
+        # --- bench entries and the auto-routed asof/backfill queries
+        # --- keeping the skew path driver-covered) ---
+        "chunk_pack_documents": q_chunk_pack_documents,
         # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_ivf_top10": q_ann_ivf_top10,
-        "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
@@ -3408,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
         "sessionize_30m_chunked": q_sessionize_30m_chunked,
+        "rolling_count_1h_chunked": q_rolling_count_1h_chunked,
     }
 
     def wrap(fn):
@@ -4601,6 +4638,35 @@ def oracle_sql() -> dict[str, str]:
             FROM x
             LEFT JOIN s ON x.event_type = s.event_type
             LEFT JOIN q ON x.event_type = q.event_type""",
+        "chunk_pack_documents": """
+            WITH t AS (
+              SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, i - 1 AS chunk_idx,
+                     list_slice(toks, (i-1)*32 + 1, (i-1)*32 + 40) AS ctoks
+              FROM t, UNNEST(generate_series(1,
+                     greatest(1, CAST(ceil((len(toks) - 8) / 32.0) AS INT))
+                   )) AS u(i)
+            ), r AS (
+              SELECT doc_id, source,
+                     CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                     md5(array_to_string(ctoks, ' ')) AS chunk_md5,
+                     CAST(len(ctoks) AS INTEGER) AS chunk_tokens
+              FROM c
+            ), p AS (
+              SELECT *,
+                     sum(chunk_tokens) OVER (PARTITION BY source
+                         ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - chunk_tokens AS cum_excl
+              FROM r
+            )
+            SELECT doc_id, chunk_idx, chunk_md5, chunk_tokens, source,
+                   CAST(floor(cum_excl / 256) AS BIGINT) AS pack_id,
+                   CAST(cum_excl - floor(cum_excl / 256) * 256 AS BIGINT)
+                     AS pack_offset
+            FROM p""",
         "source_jsonl_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",

@@ -1,0 +1,103 @@
+"""Document chunking + sequence packing — the training-batch tail of a
+curation pipeline.
+
+After filtering/dedup, documents become model-ready sequences in two
+steps: CHUNK long documents into overlapping token windows (context-
+window fitting: a 40k-token document becomes ~20 chunks of 2048 with a
+small overlap so no span is ever split mid-context), then PACK chunks
+into fixed-capacity bins (training batches waste whatever a bin leaves
+empty, so packing density is a direct compute-cost knob).
+
+Both stages are pure relational programs:
+
+- ``chunk_documents`` is map-only — one ``sequence``/``transform``/
+  ``slice`` higher-order expression per row, no shuffle, no UDF. A
+  document yields ceil((n - overlap) / (stride)) chunks (stride =
+  max_tokens - overlap); short documents pass through as one chunk.
+- ``pack_chunks`` assigns contiguous deterministic bins per group: a
+  running token total over (group, doc, chunk) order, then
+  ``pack_id = floor(exclusive_cumsum / capacity)`` — the standard
+  streaming-packing approximation (a chunk may straddle a boundary by
+  at most one chunk length; first-fit-decreasing would need sequential
+  state for ~1 extra-percent density). The window partitions by the
+  ``by`` grouping column(s) — at 100 TB pack within natural shards
+  (source, date) rather than globally, exactly the skew contract the
+  window family documents (a single global pack order would serialize;
+  per-shard packing shards the sort, and shard boundaries waste at most
+  one bin each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (document, chunk): ``chunk_idx`` (0-based),
+    ``chunk_text`` (whitespace tokens rejoined), ``chunk_tokens``.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the last chunk may be short. Empty
+    documents yield one empty chunk (they were someone's row — dropping
+    silently would break row-count lineage)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens: {overlap}"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, max_tokens).alias("ctoks"),
+        ),
+    )
+    ex = docs.select(
+        id_col, F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"),
+        F.size(F.col("c.ctoks")).alias("chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "chunk_tokens",
+) -> DataFrame:
+    """Deterministic contiguous packing: within each ``by`` group,
+    chunks in (doc, chunk) order accumulate into bins of ``capacity``
+    tokens — ``pack_id`` (0-based per group) and ``pack_offset`` (the
+    bin's token count before this chunk) added to every row."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: {capacity}")
+    parts = by or []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col, "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_excl = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    pack_id = F.floor(cum_excl / capacity).cast("long")
+    return chunks.withColumn("pack_id", pack_id).withColumn(
+        "pack_offset", (cum_excl - pack_id * capacity).cast("long")
+    )
