@@ -1785,6 +1785,38 @@ def q_chunk_pack_documents(spark, sf_dir):
     )
 
 
+def q_config_compiled_chunks(spark, sf_dir):
+    """The declarative contract over the training-batch tail: one JSON
+    document declares a row filter -> chunk (row-amplifying, validated
+    against later per-id lifts at parse time) -> pack, applied in
+    declaration order. Oracle = the chunk_pack SQL composed with the
+    same WHERE — the gate proves config-compiled == hand-built."""
+    from featuregenerator_spark.spec import compile_pipeline
+
+    cfg = {
+        "features": [
+            {"feature_type": "filter", "feature_name": "keep_big",
+             "predicate": "n_chars >= 100"},
+            {"feature_type": "chunk", "feature_name": "ck",
+             "id_column": "doc_id", "max_tokens": 40, "overlap": 8},
+            {"feature_type": "pack", "feature_name": "pk",
+             "capacity": 256, "tokens_column": "ck_tokens",
+             "order_by": ["doc_id", "ck_idx"], "by": ["source"]},
+        ]
+    }
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "text")
+    out = compile_pipeline(cfg, docs)
+    return out.select(
+        "doc_id",
+        F.col("ck_idx").alias("chunk_idx"),
+        F.md5(F.encode("ck_text", "UTF-8")).alias("chunk_md5"),
+        F.col("ck_tokens").cast("int").alias("chunk_tokens"),
+        "source",
+        F.col("pk_id").alias("pack_id"),
+        F.col("pk_offset").alias("pack_offset"),
+    )
+
+
 def q_streaming_decayed_parity(spark, sf_dir):
     """Streaming EWMA as a DRIVER-CHECKED query: the events table rides
     readStream -> applyInPandasWithState (state per user = TWO doubles:
@@ -3366,6 +3398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_cosine": q_dedup_cc_cosine,
         # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
+        # --- session-7 overflow (slot 51+): locally gate-checked every
+        # --- session via tools/check_oracle.py; its operators' driver
+        # --- coverage rides chunk_pack_documents in-window ---
+        "config_compiled_chunks": q_config_compiled_chunks,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -4996,6 +5032,13 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         JOIN b ON e.user_id = b.user_id
               AND epoch(e.ts) BETWEEN b.win_start AND b.win_end"""
+    # config_compiled_chunks: the chunk_pack oracle with the declared row
+    # filter applied at its scan CTE (the SQL's single `FROM documents`) —
+    # the gate proves the JSON-declared filter->chunk->pack pipeline
+    # equals the hand-built operators.
+    sql["config_compiled_chunks"] = sql["chunk_pack_documents"].replace(
+        "FROM documents", "FROM documents WHERE n_chars >= 100", 1
+    )
     # streaming_decayed_parity: the batch EWMA oracle composed verbatim —
     # the gate itself proves the O(1)-state streaming EWMA equals the
     # batch range-frame window formulation.

@@ -83,21 +83,24 @@ def pack_chunks(
     by: list[str] | None = None,
     id_col: str = "doc_id",
     tokens_col: str = "chunk_tokens",
+    order_cols: list[str] | None = None,
+    out_prefix: str = "pack",
 ) -> DataFrame:
     """Deterministic contiguous packing: within each ``by`` group,
-    chunks in (doc, chunk) order accumulate into bins of ``capacity``
-    tokens — ``pack_id`` (0-based per group) and ``pack_offset`` (the
-    bin's token count before this chunk) added to every row."""
+    chunks in ``order_cols`` order (default (doc, chunk)) accumulate
+    into bins of ``capacity`` tokens — ``<out_prefix>_id`` (0-based per
+    group) and ``<out_prefix>_offset`` (the bin's token count before
+    this chunk) added to every row."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
     parts = by or []
     w = (
         Window.partitionBy(*parts)
-        .orderBy(id_col, "chunk_idx")
+        .orderBy(*(order_cols or [id_col, "chunk_idx"]))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_excl = F.sum(tokens_col).over(w) - F.col(tokens_col)
     pack_id = F.floor(cum_excl / capacity).cast("long")
-    return chunks.withColumn("pack_id", pack_id).withColumn(
-        "pack_offset", (cum_excl - pack_id * capacity).cast("long")
+    return chunks.withColumn(f"{out_prefix}_id", pack_id).withColumn(
+        f"{out_prefix}_offset", (cum_excl - pack_id * capacity).cast("long")
     )

@@ -133,7 +133,15 @@ _CURATION_TYPES = {
     "source_mix",
     # canonicalization before hashing/dedup (operators/text_clean.py)
     "text_normalize",
+    # training-batch tail (operators/chunk_pack.py): chunk is
+    # row-amplifying like source_mix; pack windows per declared shard
+    "chunk",
+    "pack",
 }
+
+# lifts that emit k output rows per input row — per-id corpus lifts
+# cannot follow any of them (validated in parse_config)
+_ROW_AMPLIFYING_TYPES = {"source_mix", "chunk"}
 
 # lifts that groupBy/join-back on the document id and therefore assume
 # each id appears once — cannot follow the row-amplifying source_mix
@@ -179,6 +187,8 @@ _CURATION_REQUIRED = {
     "lm_perplexity": ("id_column",),
     "source_mix": ("id_column", "source_column", "rates"),
     "text_normalize": (),
+    "chunk": ("id_column", "max_tokens"),
+    "pack": ("capacity", "tokens_column", "order_by"),
 }
 _CURATION_METRIC_VOCAB = {
     "quality_rule": _QUALITY_METRICS,
@@ -248,6 +258,19 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                     raise ValueError(f"{name}: k must be >= 2")
                 if int(params.get("min_occurrences", 2)) < 2:
                     raise ValueError(f"{name}: min_occurrences must be >= 2")
+            if ftype == "chunk":
+                mt, ov = int(params["max_tokens"]), int(params.get("overlap", 0))
+                if mt <= 0:
+                    raise ValueError(f"{name}: max_tokens must be positive")
+                if not 0 <= ov < mt:
+                    raise ValueError(
+                        f"{name}: overlap must satisfy 0 <= overlap < max_tokens"
+                    )
+            if ftype == "pack":
+                if int(params["capacity"]) <= 0:
+                    raise ValueError(f"{name}: capacity must be positive")
+                if not params["order_by"]:
+                    raise ValueError(f"{name}: order_by must be non-empty")
             if ftype == "quality_model":
                 w = params["weights"]
                 if not isinstance(w, dict) or not w:
@@ -346,14 +369,19 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
                     "otherExpression)"
                 )
         specs.append(FeatureSpec(ftype, name, params))
-    # cross-entry contract: source_mix AMPLIFIES rows (k copies per id),
-    # so any later per-id corpus lift would see duplicated documents —
-    # doubled paragraph counts, NLL averaged over replicated bigrams,
-    # k x k join-back fan-out — with no runtime error. Reject at parse
-    # time; declare such lifts before the mixture (the natural order:
-    # score/dedup the corpus, THEN resample it).
+    # cross-entry contract: row-amplifying lifts (source_mix emits k
+    # copies per id; chunk emits one row per token window), so any later
+    # per-id corpus lift would see duplicated documents — doubled
+    # paragraph counts, NLL averaged over replicated bigrams, k x k
+    # join-back fan-out — with no runtime error. Reject at parse time;
+    # declare such lifts before the amplifier (the natural order:
+    # score/dedup the corpus, THEN resample/chunk it).
     mix_at = next(
-        (i for i, s in enumerate(specs) if s.feature_type == "source_mix"),
+        (
+            i
+            for i, s in enumerate(specs)
+            if s.feature_type in _ROW_AMPLIFYING_TYPES
+        ),
         None,
     )
     if mix_at is not None:
@@ -365,8 +393,9 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
         if per_id_after:
             raise ValueError(
                 f"per-document corpus lifts {per_id_after} declared AFTER "
-                "source_mix would compute over amplified (duplicated) "
-                "rows; declare them before the mixture resample"
+                f"the row-amplifying {specs[mix_at].feature_type!r} would "
+                "compute over amplified (duplicated) rows; declare them "
+                "before the resample/chunk stage"
             )
     return specs
 
@@ -979,6 +1008,36 @@ def _apply_curation(s: FeatureSpec, df: DataFrame) -> DataFrame:
         # row-amplifying: every declared column survives, one output row
         # per kept copy, copy index under the feature name
         return df.withColumn(s.feature_name, F.explode(idxs))
+    if t == "chunk":
+        from featuregenerator_spark.operators.chunk_pack import chunk_documents
+
+        id_col = p["id_column"]
+        ch = chunk_documents(
+            df.select(id_col, col_name),
+            max_tokens=int(p["max_tokens"]),
+            overlap=int(p.get("overlap", 0)),
+            text_col=col_name,
+            id_col=id_col,
+        ).select(
+            id_col,
+            F.col("chunk_idx").alias(f"{s.feature_name}_idx"),
+            F.col("chunk_text").alias(f"{s.feature_name}_text"),
+            F.col("chunk_tokens").alias(f"{s.feature_name}_tokens"),
+        )
+        # row-amplifying join-back: one output row per chunk, every
+        # previously declared column rides along
+        return df.join(ch, id_col)
+    if t == "pack":
+        from featuregenerator_spark.operators.chunk_pack import pack_chunks
+
+        return pack_chunks(
+            df,
+            capacity=int(p["capacity"]),
+            by=list(p.get("by", [])) or None,
+            tokens_col=p["tokens_column"],
+            order_cols=list(p["order_by"]),
+            out_prefix=s.feature_name,
+        )
     if t == "quality_model":
         from featuregenerator_spark.operators.quality_model import (
             linear_score_columns,

@@ -340,3 +340,74 @@ def test_compiled_text_normalize(spark):
     ]}
     out = compile_pipeline(config, df).collect()
     assert [(r["doc_id"], r["norm"]) for r in out] == [(1, "mixed case x")]
+
+
+def test_chunk_pack_spec_validation_and_amplifier_ordering():
+    """chunk/pack parse-time validation + the row-amplifier contract:
+    per-id corpus lifts declared after a chunk stage must be rejected
+    (they would compute over one row per token window)."""
+    import pytest
+
+    from featuregenerator_spark.spec import parse_config
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        parse_config({"features": [
+            {"feature_type": "chunk", "feature_name": "c",
+             "id_column": "doc_id", "max_tokens": 0}]})
+    with pytest.raises(ValueError, match="overlap"):
+        parse_config({"features": [
+            {"feature_type": "chunk", "feature_name": "c",
+             "id_column": "doc_id", "max_tokens": 10, "overlap": 10}]})
+    with pytest.raises(ValueError, match="capacity"):
+        parse_config({"features": [
+            {"feature_type": "pack", "feature_name": "p", "capacity": 0,
+             "tokens_column": "t", "order_by": ["doc_id"]}]})
+    with pytest.raises(ValueError, match="order_by"):
+        parse_config({"features": [
+            {"feature_type": "pack", "feature_name": "p", "capacity": 10,
+             "tokens_column": "t", "order_by": []}]})
+    with pytest.raises(ValueError, match="amplif"):
+        parse_config({"features": [
+            {"feature_type": "chunk", "feature_name": "c",
+             "id_column": "doc_id", "max_tokens": 10},
+            {"feature_type": "paragraph_dedup", "feature_name": "pd",
+             "id_column": "doc_id"}]})
+
+
+def test_chunk_pack_spec_compiles_to_operators(spark):
+    """JSON-declared chunk -> pack == the hand-built operator calls."""
+    from featuregenerator_spark.operators.chunk_pack import (
+        chunk_documents,
+        pack_chunks,
+    )
+    from featuregenerator_spark.spec import compile_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), " ".join("w%d_%d" % (i, j) for j in range(25)))
+         for i in range(8)],
+        "doc_id long, source string, text string",
+    )
+    cfg = {"features": [
+        {"feature_type": "chunk", "feature_name": "ck",
+         "id_column": "doc_id", "max_tokens": 10, "overlap": 2},
+        {"feature_type": "pack", "feature_name": "pk", "capacity": 32,
+         "tokens_column": "ck_tokens", "order_by": ["doc_id", "ck_idx"],
+         "by": ["source"]},
+    ]}
+    declared = compile_pipeline(cfg, docs).select(
+        "doc_id", "source", "ck_idx", "ck_text", "ck_tokens",
+        "pk_id", "pk_offset",
+    )
+    ch = chunk_documents(docs, max_tokens=10, overlap=2).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    built = pack_chunks(ch, capacity=32, by=["source"]).select(
+        "doc_id", "source",
+        F.col("chunk_idx").alias("ck_idx"),
+        F.col("chunk_text").alias("ck_text"),
+        F.col("chunk_tokens").alias("ck_tokens"),
+        F.col("pack_id").alias("pk_id"),
+        F.col("pack_offset").alias("pk_offset"),
+    )
+    assert declared.exceptAll(built).count() == 0
+    assert built.exceptAll(declared).count() == 0
