@@ -371,6 +371,9 @@ def main() -> None:
                 "audio_spectral",
                 "source_jsonl_roundtrip",
                 "source_csv_roundtrip",
+                "interval_session_assign",
+                "image_phash_neardup",
+                "chunk_pack_documents",
             ),
         )
 
