@@ -1457,7 +1457,15 @@ def q_image_phash_neardup(spark, sf_dir):
         synth_neardup_bmp_assets,
     )
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    # a single-file scan is ONE partition — repartition before the
+    # synth/decode mapInPandas so hashing spreads across cores (same
+    # probe-side pattern as the pairwise-join queries)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(par)
+    )
     hashes = ahash_images(synth_neardup_bmp_assets(docs))
     segs = hashes.select(
         "asset_id",

@@ -30,8 +30,23 @@ from pyspark.sql import functions as F
 PHASH_DDL = "asset_id long, width int, height int, phash long"
 
 
+_BIT_WEIGHTS = None
+
+
+def _bit_weights():
+    global _BIT_WEIGHTS
+    if _BIT_WEIGHTS is None:
+        import numpy as np
+
+        _BIT_WEIGHTS = np.left_shift(
+            np.uint64(1), np.arange(64, dtype=np.uint64)
+        )
+    return _BIT_WEIGHTS
+
+
 def _ahash64(rgb) -> int:
-    """(H, W, 3) uint8 -> 64-bit average hash (row-major bit order)."""
+    """(H, W, 3) uint8 -> 64-bit average hash (row-major bit order).
+    One vectorized dot against the bit-weight vector — no per-bit loop."""
     import numpy as np
 
     gray = rgb.astype(np.float64).mean(axis=2)
@@ -40,9 +55,7 @@ def _ahash64(rgb) -> int:
     hh, ww = (h // 8) * 8, (w // 8) * 8
     g = gray[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
     bits = (g > g.mean()).astype(np.uint64).ravel()
-    out = np.uint64(0)
-    for i, b in enumerate(bits):
-        out |= b << np.uint64(i)
+    out = np.bitwise_or.reduce(bits * _bit_weights())
     # numpy uint64 -> signed long for Spark's LongType (bit pattern kept)
     return int(out.astype(np.int64))
 
