@@ -2839,7 +2839,13 @@ def q_audio_spectral(spark, sf_dir):
         synth_tone_wav_assets,
     )
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("asset_id"))
+    # repartition before the synth/FFT mapInPandas: a single-file scan
+    # is one partition, which would serialize the DSP on one core
+    docs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     feats = audio_spectral_features(synth_tone_wav_assets(docs))
     return feats.select(
         "asset_id",
