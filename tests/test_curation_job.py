@@ -113,3 +113,46 @@ def test_curation_job_session6_types_end_to_end(spark, tmp_path, capsys):
     # the shared footer paragraph survives only in doc 0's copy
     assert one["clean"] == "alpha beta gamma delta w1"
     assert one["ppl_keep"] == 1 and one["ppl"] is not None
+
+
+def test_curation_job_chunk_pack_end_to_end(spark, tmp_path, capsys):
+    # the deployment entry runs the session-7 training-batch tail
+    # unchanged: filter -> chunk -> pack, through lineage commit
+    path = str(tmp_path / "docs7")
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(25)), "s" + str(i % 2))
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(path)
+    config = {"features": [
+        {"feature_type": "filter", "feature_name": "keep",
+         "predicate": "doc_id <> 11"},
+        {"feature_type": "chunk", "feature_name": "ck",
+         "id_column": "doc_id", "max_tokens": 10, "overlap": 2},
+        {"feature_type": "pack", "feature_name": "pk", "capacity": 40,
+         "tokens_column": "ck_tokens",
+         "order_by": ["doc_id", "ck_idx"], "by": ["source"]},
+    ]}
+    cfg = tmp_path / "c7.json"
+    cfg.write_text(json.dumps(config))
+    out_dir = str(tmp_path / "out7")
+    rc = main(["--input", path, "--output", out_dir, "--config", str(cfg)])
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    # 11 surviving docs x ceil((25-2)/8) = 3 chunks each
+    assert got.count() == 33
+    assert got.filter("doc_id = 11").count() == 0
+    # pack ids start at 0 within each source shard and offsets respect
+    # capacity accounting
+    for src in ("s0", "s1"):
+        shard = sorted(
+            got.filter(F.col("source") == src).collect(),
+            key=lambda r: (r["doc_id"], r["ck_idx"]),
+        )
+        cum = 0
+        for r in shard:
+            assert r["pk_id"] == cum // 40
+            assert r["pk_offset"] == cum - r["pk_id"] * 40
+            cum += r["ck_tokens"]
