@@ -146,3 +146,73 @@ def rates_values_sql(
         for s, r in sorted(rates.items())
     )
     return f"(VALUES {rows})"
+
+
+_SPLIT_SALT = "split:"
+_STRAT_SALT = "strat:"
+
+
+def split_assign(
+    key: Column, cuts: dict[str, float]
+) -> Column:
+    """Deterministic dataset-split label (train/val/test...) from the
+    same md5-hex draw rule as the mixture stage: ``cuts`` maps label ->
+    cumulative upper bound (e.g. {"train": .8, "val": .9, "test": 1.0},
+    ascending, last == 1.0). A document's split never changes across
+    runs, retries, or clusters — the property that keeps eval sets
+    uncontaminated when the corpus is rebuilt."""
+    bounds = sorted(cuts.items(), key=lambda kv: kv[1])
+    if not bounds or abs(bounds[-1][1] - 1.0) > 1e-12:
+        raise ValueError(f"cuts must end at 1.0: {cuts}")
+    prev = 0.0
+    for label, b in bounds:
+        if not prev < b <= 1.0:
+            raise ValueError(f"cuts must ascend in (0, 1]: {cuts}")
+        prev = b
+    draw = F.substring(
+        F.md5(F.encode(F.concat(F.lit(_SPLIT_SALT), key.cast("string")), "UTF-8")),
+        1,
+        8,
+    )
+    # ascending CASE chain: the smallest bound whose threshold the draw
+    # undercuts wins; the 1.0 bound is the unconditional tail
+    expr = None
+    tail = F.lit(bounds[-1][0])
+    for label, b in bounds[:-1]:
+        scaled = min(int(round(b * 16**8)), 16**8 - 1)
+        cond = draw < F.lit(format(scaled, "08x"))
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    return tail if expr is None else expr.otherwise(tail)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per group, chosen by the
+    deterministic md5 order of the id (a per-group uniform sample whose
+    membership is stable across runs/retries/clusters — balanced
+    eval-set construction). One top-n window per group; Spark pushes a
+    per-partition partial top-n before the shuffle, so the full groups
+    never move."""
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    from pyspark.sql import Window
+
+    draw = F.md5(
+        F.encode(
+            F.concat(F.lit(_STRAT_SALT), F.col(id_col).cast("string")), "UTF-8"
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(draw, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

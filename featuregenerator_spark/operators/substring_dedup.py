@@ -244,3 +244,48 @@ def trim_dup_spans(
         ),
         F.concat_ws(" ", kept).alias("text_clean"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / Llama n-gram overlap rule):
+    flag every corpus document sharing at least one k-token window with
+    the held-out benchmark set — training on such documents inflates
+    eval scores, so curation drops or audits them.
+
+    Shape: the benchmark's DISTINCT window hashes form a small table
+    (benchmarks are thousands of documents, not billions) that
+    broadcast-semi-joins against the corpus's window stream — the
+    corpus is touched once, map-side, with no corpus-sized shuffle.
+    Returns one row per corpus doc: ``n_hit_windows`` (distinct
+    contaminated windows), ``first_hit_start`` (earliest token offset,
+    for audit snippets), ``contaminated`` 0/1."""
+    ch = window_hashes(corpus, k, text_col=text_col, id_col=id_col)
+    bh = (
+        window_hashes(benchmark, k, text_col=text_col, id_col=id_col)
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        ch.join(F.broadcast(bh), "h")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("h").alias("n_hit_windows"),
+            F.min("start").alias("first_hit_start"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_windows", F.lit(0)).alias("n_hit_windows"),
+            F.col("first_hit_start"),
+            (F.col("n_hit_windows").isNotNull()).cast("int").alias("contaminated"),
+        )
+    )

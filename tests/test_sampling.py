@@ -81,3 +81,80 @@ def test_rates_values_sql_escapes_quotes():
     assert duckdb.sql(f"SELECT * FROM {sql} t(s, b, h)").fetchall() == [
         ("o'reilly", 1, "80000000")
     ]
+
+
+def test_split_assign_distribution_and_determinism(spark):
+    from featuregenerator_spark.operators.sampling import split_assign
+
+    df = spark.range(20000).select(F.col("id"))
+    out = df.select(
+        "id",
+        split_assign(F.col("id"), {"train": 0.8, "val": 0.9, "test": 1.0})
+        .alias("s"),
+    )
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 uniformity: within 2% absolute of the declared fractions
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+    assert abs(counts["test"] / 20000 - 0.1) < 0.02
+    # re-evaluation yields the identical assignment (no RNG anywhere)
+    again = {r["id"]: r["s"] for r in out.collect()}
+    assert {r["id"]: r["s"] for r in out.collect()} == again
+
+    import pytest
+
+    with pytest.raises(ValueError, match="1.0"):
+        split_assign(F.col("id"), {"a": 0.5, "b": 0.8})
+    with pytest.raises(ValueError, match="ascend"):
+        split_assign(F.col("id"), {"a": 0.0, "b": 1.0})
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    from featuregenerator_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("g"),
+    )
+    out = stratified_sample_exact(df, ["g"], n=10, id_col="doc_id")
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert all(v == 10 for v in counts.values()) and len(counts) == 7
+    # groups smaller than n return the whole group
+    small = df.filter(F.col("doc_id") < 20)
+    out2 = stratified_sample_exact(small, ["g"], n=10, id_col="doc_id")
+    assert out2.count() == 20
+    # membership is stable across evaluations
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        stratified_sample_exact(df, ["g"], n=0)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from featuregenerator_spark.operators.substring_dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                               # the benchmark doc
+        (1, "clean doc " + " ".join(f"x{j}" for j in range(20))),
+        # contains an exact 8-token benchmark window mid-document
+        (2, "intro words alpha beta gamma delta epsilon zeta eta theta tail"),
+        (3, "short"),                                  # < k tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    corpus = df.filter("doc_id <> 0")
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, k=8).collect()}
+    assert got[2]["contaminated"] == 1
+    assert got[2]["n_hit_windows"] >= 1
+    assert got[2]["first_hit_start"] == 2
+    assert got[1]["contaminated"] == 0 and got[1]["n_hit_windows"] == 0
+    assert got[3]["contaminated"] == 0
+    assert got[3]["first_hit_start"] is None
