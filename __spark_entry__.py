@@ -1841,6 +1841,34 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return decontaminate(corpus, bench, k=8)
 
 
+def q_pack_materialize(spark, sf_dir):
+    """The packed sequences a trainer consumes: chunk -> pack -> one row
+    per bin with the chunks concatenated in (doc, chunk) order behind a
+    separator token. Order comes from array_sort over (doc, chunk, text)
+    structs inside a map-side-combinable aggregate (no second window
+    pass); the oracle rebuilds the same bins with string_agg ORDER BY —
+    packed CONTENT checked via md5."""
+    from featuregenerator_spark.operators.chunk_pack import (
+        chunk_documents,
+        materialize_packs,
+        pack_chunks,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    ch = chunk_documents(docs, max_tokens=40, overlap=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_chunks(ch, capacity=256, by=["source"])
+    out = materialize_packs(packed, by=["source"])
+    return out.select(
+        "source",
+        "pack_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.encode("packed_text", "UTF-8")).alias("packed_md5"),
+    )
+
+
 def q_config_compiled_chunks(spark, sf_dir):
     """The declarative contract over the training-batch tail: one JSON
     document declares a row filter -> chunk (row-amplifying, validated
@@ -3468,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_assign": q_dataset_split_assign,
         "sample_stratified_lang": q_sample_stratified_lang,
         "decontaminate_benchmark": q_decontaminate_benchmark,
+        "pack_materialize": q_pack_materialize,
         # --- stable queries keeping driver coverage this round ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
@@ -3925,6 +3954,37 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""",
+        "pack_materialize": """
+            WITH t AS (
+              SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, i - 1 AS chunk_idx,
+                     list_slice(toks, (i-1)*32 + 1, (i-1)*32 + 40) AS ctoks
+              FROM t, UNNEST(generate_series(1,
+                     greatest(1, CAST(ceil((len(toks) - 8) / 32.0) AS INT))
+                   )) AS u(i)
+            ), r AS (
+              SELECT doc_id, source, chunk_idx,
+                     array_to_string(ctoks, ' ') AS ctext,
+                     CAST(len(ctoks) AS INTEGER) AS ctok
+              FROM c
+            ), p AS (
+              SELECT *,
+                     sum(ctok) OVER (PARTITION BY source
+                         ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - ctok AS cum_excl
+              FROM r
+            )
+            SELECT source,
+                   CAST(floor(cum_excl / 256) AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(ctok) AS BIGINT) AS n_tokens,
+                   md5(string_agg(ctext, '<|endofchunk|>'
+                       ORDER BY doc_id, chunk_idx)) AS packed_md5
+            FROM p
+            GROUP BY source, CAST(floor(cum_excl / 256) AS BIGINT)""",
         "dataset_split_assign": """
             SELECT doc_id,
                    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),

@@ -104,3 +104,37 @@ def pack_chunks(
     return chunks.withColumn(f"{out_prefix}_id", pack_id).withColumn(
         f"{out_prefix}_offset", (cum_excl - pack_id * capacity).cast("long")
     )
+
+
+def materialize_packs(
+    packed: DataFrame,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "chunk_text",
+    tokens_col: str = "chunk_tokens",
+    pack_col: str = "pack_id",
+    separator: str = "<|endofchunk|>",
+) -> DataFrame:
+    """One row per bin: the pack's chunks concatenated in (doc, chunk)
+    order with a separator token — the sequence a trainer actually
+    consumes. Order inside the aggregate comes from sorting an array of
+    (doc, chunk, text) structs (Spark sorts structs lexicographically),
+    so the result is deterministic without a second window pass; the
+    groupBy is map-side-combinable and shuffles one narrow row per
+    (group, pack)."""
+    parts = (by or []) + [pack_col]
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col), F.col("chunk_idx"), F.col(text_col))
+        )
+    )
+    return (
+        packed.groupBy(*parts)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).alias("n_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s[text_col]), separator
+            ).alias("packed_text"),
+        )
+    )

@@ -84,3 +84,31 @@ def test_pack_bin_discipline(spark):
     for r in sorted(p2, key=lambda r: (r["source"], r["doc_id"], r["chunk_idx"])):
         firsts.setdefault(r["source"], r["pack_id"])
     assert all(v == 0 for v in firsts.values())
+
+
+def test_materialize_packs_order_and_content(spark):
+    """Packed text preserves (doc, chunk) order across bins, counts add
+    up, and the separator never corrupts chunk boundaries."""
+    from featuregenerator_spark.operators.chunk_pack import (
+        chunk_documents,
+        materialize_packs,
+        pack_chunks,
+    )
+
+    docs = _mkdocs(
+        spark, [" ".join(f"d{i}w{j}" for j in range(25)) for i in range(6)]
+    )
+    ch = chunk_documents(docs, max_tokens=10, overlap=0)
+    packed = pack_chunks(ch, capacity=30)
+    out = {r["pack_id"]: r for r in materialize_packs(packed).collect()}
+    # 6 docs x (10+10+5) tokens = 150 tokens -> 5 bins of 30
+    assert set(out) == {0, 1, 2, 3, 4}
+    all_chunks = sorted(
+        packed.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    sep = "<|endofchunk|>"
+    for pid, r in out.items():
+        members = [c for c in all_chunks if c["pack_id"] == pid]
+        assert r["n_chunks"] == len(members)
+        assert r["n_tokens"] == sum(c["chunk_tokens"] for c in members)
+        assert r["packed_text"] == sep.join(c["chunk_text"] for c in members)
