@@ -319,7 +319,7 @@ def test_source_mix_rejects_following_per_id_lifts():
         {"feature_type": "paragraph_dedup", "feature_name": "t",
          "id_column": "doc_id"},
     ]}
-    with pytest.raises(ValueError, match="AFTER source_mix"):
+    with pytest.raises(ValueError, match="AFTER the row-amplifying 'source_mix'"):
         parse_config(bad)
     # the natural order parses fine
     ok = {"features": [bad["features"][1], bad["features"][0]]}
