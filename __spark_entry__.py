@@ -3497,7 +3497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_lang": q_sample_stratified_lang,
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "pack_materialize": q_pack_materialize,
-        # --- stable queries keeping driver coverage this round ---
+        # --- stable queries displaced past slot 50 by the session-6/7
+        # --- insertions (unchanged in r4; green rows from r01-r03, and
+        # --- every local gate replica re-checks them) ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "ann_lsh_top10": q_ann_lsh_top10,
