@@ -2981,6 +2981,25 @@ def q_source_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_orc_roundtrip(spark, sf_dir):
+    """ORC as a source format: write the events table as ZSTD ORC with
+    bloom-filter indexes on the point-lookup keys, read it back with a
+    DECLARED schema (footer schemas are not trusted across daily drops),
+    and return every row. Timestamps stay native TIMESTAMP_NTZ — no text
+    boundary. The DuckDB oracle reads the original parquet, so the gate
+    proves the columnar roundtrip is lossless."""
+    from featuregenerator_spark.sources.columnar import (
+        read_events_orc,
+        write_events_orc,
+    )
+
+    path = _text_source_stage(sf_dir, "orc")
+    write_events_orc(_events(spark, sf_dir), path)
+    return read_events_orc(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3497,6 +3516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_lang": q_sample_stratified_lang,
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "pack_materialize": q_pack_materialize,
+        # session-8 overflow: ORC joins the JSONL/CSV roundtrip family
+        # (same verbatim oracle); locally gate-checked, cross-SF-diffed
+        # in tests/test_columnar.py
+        "source_orc_roundtrip": q_source_orc_roundtrip,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -4875,6 +4898,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
         "source_csv_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events""",
+        "source_orc_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
         "audio_spectral": """
