@@ -3000,6 +3000,36 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction: write the events table deliberately
+    fragmented (24-way repartition x one dir per ds day), rewrite it via
+    AQE REBALANCE(ds) (`sources/compaction.py` — coalesces small
+    partitions toward the advisory size, splits hot days, no
+    per-partition driver loop), and return every row of the compacted
+    table. The DuckDB oracle reads the ORIGINAL parquet, so the gate
+    proves the fragment -> compact rewrite is value-lossless including
+    the derived ds partition column."""
+    from featuregenerator_spark.sources.compaction import compact_table
+
+    base = _text_source_stage(sf_dir, "compact")
+    ev = _events(spark, sf_dir).withColumn(
+        "ds", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.repartition(24).write.mode("overwrite").partitionBy("ds").parquet(
+        base + "/frag"
+    )
+    back = compact_table(spark, base + "/frag", base + "/out")
+    return back.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.col("ds").cast("string").alias("ds"),
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3520,6 +3550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (same verbatim oracle); locally gate-checked, cross-SF-diffed
         # in tests/test_columnar.py
         "source_orc_roundtrip": q_source_orc_roundtrip,
+        # session-8 overflow: small-file compaction via AQE REBALANCE;
+        # oracle reads the ORIGINAL parquet so the gate proves the
+        # rewrite value-lossless; file-count collapse pinned in
+        # tests/test_compaction.py
+        "compact_roundtrip": q_compact_roundtrip,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -4902,6 +4937,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "source_orc_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events""",
+        "compact_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   strftime(ts, '%Y-%m-%d') AS ds
             FROM events""",
         "audio_spectral": """
             WITH p AS (
