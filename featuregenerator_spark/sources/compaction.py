@@ -37,17 +37,29 @@ def compact_table(
     dst_dir: str,
     partition_cols: tuple[str, ...] = ("ds",),
     advisory_bytes: int | None = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rewrite a (possibly hive-partitioned) parquet directory with
     ~advisory-size files per partition; returns the compacted reader.
 
     ``advisory_bytes`` is applied for the duration of the write and
     restored after (it is a session-level AQE knob).
+
+    ``sort_cols`` re-sorts rows WITHIN each output file (no extra
+    shuffle — a sortWithinPartitions after the rebalance): compaction
+    is the natural moment to restore locality, because sorted row
+    groups give tight parquet min/max stats (a ``ts`` range scan skips
+    whole row groups) and long runs for RLE/dictionary encoding.
     """
     df = spark.read.parquet(src_dir)
     out = df.hint("rebalance", *partition_cols) if partition_cols else df.hint(
         "rebalance"
     )
+    if sort_cols:
+        # prefix with the partition columns: the dynamic-partition writer
+        # requires rows sorted by partition cols and would otherwise
+        # inject its own (unstable) sort, destroying the sort_cols order
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     prior = spark.conf.get(ADVISORY_CONF, None)
     try:
         if advisory_bytes is not None:

@@ -55,6 +55,22 @@ def test_compaction_restores_advisory_conf(spark, tmp_path):
     assert spark.conf.get(ADVISORY_CONF, None) == prior
 
 
+def test_compaction_sort_cols_restore_locality(spark, tmp_path):
+    """sort_cols must leave each output file internally sorted — the
+    property that gives tight per-row-group min/max stats on ts."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ds", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    frag = str(tmp_path / "frag")
+    dst = str(tmp_path / "out")
+    ev.repartition(8).write.partitionBy("ds").parquet(frag)
+    compact_table(spark, frag, dst, sort_cols=("ts",))
+    for f in _parquet_files(dst)[:5]:
+        ts = [r["ts"] for r in spark.read.parquet(f).select("ts").collect()]
+        assert ts == sorted(ts), f
+
+
 def test_compaction_plan_uses_rebalance(spark, tmp_path):
     """The rewrite must go through RebalancePartitions (AQE split +
     coalesce), not a fixed repartition — that is the property that
