@@ -3030,6 +3030,27 @@ def q_compact_roundtrip(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key over (user_id, epoch(ts)): one tiny
+    min/max stats action, then a pure-codegen bit-interleave expression
+    (`sources/zorder.py`). Spark evaluates the expression with collected
+    stat literals; the DuckDB oracle computes its own min/max over the
+    identical data and evaluates the SAME expression text generated by
+    the same Python loop — the gate proves the Morton math itself."""
+    from featuregenerator_spark.sources.zorder import zorder_key_column
+
+    ev = _events(spark, sf_dir)
+    b = F.col("ts").cast("timestamp")
+    row = ev.agg(
+        F.min(F.col("user_id").cast("double")),
+        F.max(F.col("user_id").cast("double")),
+        F.min(b.cast("double")),
+        F.max(b.cast("double")),
+    ).collect()[0]
+    z = zorder_key_column(F.col("user_id"), b, tuple(row), bits=16)
+    return ev.select("event_id", z.alias("zkey"))
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3555,6 +3576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrite value-lossless; file-count collapse pinned in
         # tests/test_compaction.py
         "compact_roundtrip": q_compact_roundtrip,
+        # session-8 overflow: Morton layout key — both engines evaluate
+        # the same generated bit-interleave expression, so the gate
+        # proves the z-order math; file-rectangle locality pinned via
+        # parquet footer stats in tests/test_zorder.py
+        "zorder_key": q_zorder_key,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -3689,6 +3715,12 @@ def oracle_sql() -> dict[str, str]:
         DEMO_BIAS,
         DEMO_WEIGHTS,
         weights_values_sql,
+    )
+    from featuregenerator_spark.sources.zorder import zorder_key_sql
+
+    zexpr = zorder_key_sql(
+        "CAST(user_id AS DOUBLE)", "epoch(ts)",
+        "s.umn", "s.umx", "s.tmn", "s.tmx", bits=16,
     )
 
     gap = "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
@@ -4942,6 +4974,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type, value, props,
                    strftime(ts, '%Y-%m-%d') AS ds
             FROM events""",
+        "zorder_key": f"""
+            WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,
+                              max(CAST(user_id AS DOUBLE)) AS umx,
+                              min(epoch(ts)) AS tmn,
+                              max(epoch(ts)) AS tmx
+                       FROM events)
+            SELECT event_id, {zexpr} AS zkey FROM events, s""",
         "audio_spectral": """
             WITH p AS (
               SELECT doc_id,
