@@ -309,6 +309,7 @@ def main() -> None:
     substring: dict[str, float] = {}
     text_ops: dict[str, float] = {}
     session7: dict[str, float] = {}
+    layout_ops: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -377,6 +378,21 @@ def main() -> None:
             ),
         )
 
+        # session-8 family (round 4): physical-layout tooling — ORC
+        # roundtrip (write+read, bloom-indexed), small-file compaction
+        # (fragment 24-way x per-day dirs, AQE-rebalance rewrite, full
+        # read-back), and the Morton z-order key (stats pass + codegen
+        # interleave over every event).
+        layout_ops = _time_family(
+            qmap,
+            spark,
+            (
+                "source_orc_roundtrip",
+                "compact_roundtrip",
+                "zorder_key",
+            ),
+        )
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -400,6 +416,7 @@ def main() -> None:
                 "substring_dedup": substring,
                 "text_ops": text_ops,
                 "session7_ops": session7,
+                "layout_ops": layout_ops,
                 "curation": curation,
             }
         )
