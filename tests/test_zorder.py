@@ -53,6 +53,23 @@ def test_zorder_files_cover_small_rectangles(spark, tmp_path):
     assert fu + ft < 1.0, (fu, ft)
 
 
+def test_zorder_constant_column_is_rank_zero(spark, tmp_path):
+    """A constant key column (span 0) must rank to 0 on that dimension
+    instead of evaluating 0/0 (NaN -> ANSI cast error); the other
+    dimension still orders the layout."""
+    df = spark.range(200).select(
+        F.col("id").alias("a"), F.lit(7).alias("b")
+    )
+    path = str(tmp_path / "zc")
+    write_zordered(df, path, "a", "b", num_files=4, bits=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # with b constant, z reduces to the interleave of a alone -> files
+    # partition a into disjoint ranges
+    spans = _file_spans(path, "a")
+    assert sum(spans) / len(spans) <= 199 / 2, spans
+
+
 def test_zorder_key_spark_duckdb_parity_cross_sf(spark):
     """The gate checks sf0.01; re-prove the generated-expression parity
     at sf0.001 (different data shape) against DuckDB directly."""
