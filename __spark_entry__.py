@@ -3051,6 +3051,36 @@ def q_zorder_key(spark, sf_dir):
     return ev.select("event_id", z.alias("zkey"))
 
 
+def q_source_jsonl_corrupt_audit(spark, sf_dir):
+    """PERMISSIVE ingest with corrupt-record quarantine: write the
+    events table as JSONL, inject a deterministic garbage part file
+    (non-JSON, truncated JSON, and a type-mismatch row that still
+    parses its other fields), read back audited, and return the GOOD
+    rows. The oracle reads the original parquet — the gate proves the
+    quarantine removes exactly the injected lines and nothing else
+    (no phantom all-null rows, no dropped good rows). Quarantine
+    content itself is pinned in tests/test_textfiles.py."""
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_jsonl_audited,
+        write_events_jsonl,
+    )
+
+    path = _text_source_stage(sf_dir, "jsonl_audit")
+    write_events_jsonl(_events(spark, sf_dir), path)
+    with open(os.path.join(path, "part-99999-garbage.json"), "w") as f:
+        f.write("definitely not json\n")
+        f.write('{"event_id": 1\n')
+        f.write(
+            '{"event_id": "not-a-long", "ts_str": "2024-01-01 '
+            '00:00:00.000000", "user_id": 1, "event_type": "view", '
+            '"value": 1.0, "props": "x"}\n'
+        )
+    good, _quarantined = read_events_jsonl_audited(spark, path)
+    return good.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3581,6 +3611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proves the z-order math; file-rectangle locality pinned via
         # parquet footer stats in tests/test_zorder.py
         "zorder_key": q_zorder_key,
+        # session-8 overflow: quarantine-don't-fail ingest; oracle =
+        # the original events, so the gate proves the corrupt filter
+        # removes exactly the injected lines
+        "source_jsonl_corrupt_audit": q_source_jsonl_corrupt_audit,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -4973,6 +5007,9 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props,
                    strftime(ts, '%Y-%m-%d') AS ds
+            FROM events""",
+        "source_jsonl_corrupt_audit": """
+            SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
         "zorder_key": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,

@@ -91,3 +91,53 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
     for k, v in _CSV_OPTS.items():
         r = r.option(k, v)
     return _from_text_form(r.csv(path))
+
+
+CORRUPT_COL = "_corrupt"
+
+
+def read_events_jsonl_audited(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSONL ingest: ``(good, quarantined)``.
+
+    At 100 TB a single malformed line must not fail the job (FAILFAST)
+    or silently become an all-null row (PERMISSIVE without auditing) —
+    it must be quarantined WITH the raw line for replay. PERMISSIVE
+    mode + ``columnNameOfCorruptRecord`` gives exactly that: a corrupt
+    line yields nulls for unparseable fields and the verbatim line in
+    the corrupt column. Note the partial-row semantics: a type
+    mismatch on ONE field (e.g. a string event_id) still parses the
+    other fields but flags the row — so "good" is strictly
+    ``_corrupt IS NULL``, never "event_id IS NOT NULL".
+
+    Engine quirk, found by test: with the native JSON reader, ANY plan
+    whose column set collapses to just the corrupt pseudo-column —
+    including a plain ``good.count()``, where the optimizer prunes
+    everything but the filter's ``_corrupt`` reference — raises
+    ``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`` unless the
+    relation is cached (a non-starter at ingest scale). So this reads
+    ``spark.read.text`` + ``from_json`` instead: one identical
+    file-split-parallel scan, no pseudo-column restriction, and the
+    verbatim raw line comes for free as the text value.
+    """
+    ddl = f"{EVENTS_TEXT_DDL}, {CORRUPT_COL} string"
+    flat = (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_json(
+                "value",
+                ddl,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r"),
+        )
+        .select("raw_line", "r.*")
+    )
+    good = _from_text_form(
+        flat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "raw_line")
+    )
+    quarantined = flat.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        "event_id", "raw_line"
+    )
+    return good, quarantined

@@ -74,3 +74,37 @@ def test_roundtrip_on_driver_events_cross_sf(spark):
         assert back.count() == orig.count()
         assert back.exceptAll(orig).count() == 0
         assert orig.exceptAll(back).count() == 0
+
+
+def test_jsonl_corrupt_audit_quarantines_exactly(spark, tmp_path):
+    """Good rows are byte-identical to the input; the quarantine holds
+    exactly the injected lines verbatim, including the partial-row
+    type-mismatch case (other fields parse, row still flagged)."""
+    import __spark_entry__  # noqa: F401  (same injection pattern as the query)
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_jsonl_audited,
+    )
+
+    df = spark.createDataFrame(ROWS, DDL)
+    path = str(tmp_path / "qa")
+    write_events_jsonl(df, path)
+    bad = [
+        "definitely not json",
+        '{"event_id": 1',
+        '{"event_id": "not-a-long", "ts_str": "2024-01-01 '
+        '00:00:00.000000", "user_id": 1, "event_type": "view", '
+        '"value": 1.0, "props": "x"}',
+    ]
+    with open(f"{path}/part-99999-garbage.json", "w") as f:
+        f.write("\n".join(bad) + "\n")
+
+    good, quarantined = read_events_jsonl_audited(spark, path)
+    assert good.count() == len(ROWS)
+    assert {r["event_id"] for r in good.collect()} == {1, 2, 3, 4}
+    q = quarantined.collect()
+    assert sorted(r["raw_line"] for r in q) == sorted(bad)
+    # partial-row semantics: the type-mismatch line parsed user_id but
+    # is still quarantined (the reason "good" filters on _corrupt,
+    # never on a field being non-null)
+    mismatch = [r for r in q if "not-a-long" in r["raw_line"]]
+    assert len(mismatch) == 1 and mismatch[0]["event_id"] is None
