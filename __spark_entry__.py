@@ -3081,6 +3081,33 @@ def q_source_jsonl_corrupt_audit(spark, sf_dir):
     )
 
 
+def q_schema_evolution_read(spark, sf_dir):
+    """Additive schema evolution across daily drops: days before
+    2024-02-01 are staged WITHOUT the props column (the pre-evolution
+    files), later days with it; one declared superset schema reads both
+    directories — old files yield null props, vectorized, with no
+    mergeSchema footer-union pre-pass. The oracle expresses the same
+    contract as a CASE on the original table, so the gate proves
+    missing-column nulls land on exactly the pre-cutoff rows."""
+    from featuregenerator_spark.sources.columnar import read_evolved
+
+    base = _text_source_stage(sf_dir, "evolve")
+    ev = _events(spark, sf_dir)
+    cutoff = "2024-02-01"
+    cond = F.date_format("ts", "yyyy-MM-dd") < cutoff
+    ev.filter(cond).drop("props").write.mode("overwrite").parquet(
+        base + "/old"
+    )
+    ev.filter(~cond).write.mode("overwrite").parquet(base + "/new")
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return read_evolved(spark, ddl, base + "/old", base + "/new").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3615,6 +3642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the original events, so the gate proves the corrupt filter
         # removes exactly the injected lines
         "source_jsonl_corrupt_audit": q_source_jsonl_corrupt_audit,
+        # session-8 overflow: additive schema evolution under one
+        # declared superset schema; oracle = CASE on the cutoff date
+        "schema_evolution_read": q_schema_evolution_read,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -5010,6 +5040,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "source_jsonl_corrupt_audit": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events""",
+        "schema_evolution_read": """
+            SELECT event_id, ts, user_id, event_type, value,
+                   CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-02-01'
+                        THEN NULL ELSE props END AS props
             FROM events""",
         "zorder_key": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,

@@ -54,3 +54,19 @@ def read_events_orc(
     """Read an ORC events directory with the declared schema (footer
     schemas are not trusted across daily drops)."""
     return spark.read.schema(ddl).orc(path)
+
+
+def read_evolved(spark: SparkSession, ddl: str, *paths: str) -> DataFrame:
+    """Read daily-drop directories whose files predate a column
+    addition, under one declared TARGET schema.
+
+    Schema evolution the declarative way: parquet/ORC scans accept a
+    user schema that is a SUPERSET of any file's footer — files missing
+    a column yield nulls for it, vectorized, with no per-file branching
+    and, unlike ``mergeSchema``, no footer-union pre-pass over every
+    file on the driver (at 100 TB that pre-pass is a full listing +
+    footer fetch per file). Renames/retypes stay loud failures — only
+    additive evolution is silently tolerated, which is the contract a
+    curated lake wants.
+    """
+    return spark.read.schema(ddl).parquet(*paths)

@@ -80,3 +80,56 @@ def test_orc_roundtrip_on_driver_events_cross_sf(spark):
     assert back.count() == orig.count()
     assert back.exceptAll(orig).count() == 0
     assert orig.exceptAll(back).count() == 0
+
+
+def test_schema_evolution_superset_read(spark, tmp_path):
+    """Files written before a column existed read as null under the
+    declared superset schema; a RETYPE stays a loud failure."""
+    from featuregenerator_spark.sources.columnar import read_evolved
+
+    old = spark.createDataFrame([(1, "a")], "id long, x string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id long, x string, y double")
+    old.write.parquet(str(tmp_path / "d1"))
+    new.write.parquet(str(tmp_path / "d2"))
+    got = {
+        r["id"]: (r["x"], r["y"])
+        for r in read_evolved(
+            spark, "id long, x string, y double",
+            str(tmp_path / "d1"), str(tmp_path / "d2"),
+        ).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    # retype (x as long) must fail loudly, not coerce silently —
+    # pinned to the scan-level type-mismatch error class
+    import pytest
+
+    with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH"):
+        read_evolved(
+            spark, "id long, x long, y double",
+            str(tmp_path / "d1"), str(tmp_path / "d2"),
+        ).collect()
+
+
+def test_schema_evolution_query_cross_sf(spark):
+    """The evolution query at sf0.001 (gate checks sf0.01): nulls land
+    on exactly the pre-cutoff rows."""
+    import __spark_entry__ as m
+
+    from pyspark.sql import functions as F2
+
+    out = m.queries()["schema_evolution_read"](spark, "/root/testdata/sf0.001")
+    bad = out.filter(
+        (
+            (F2.date_format("ts", "yyyy-MM-dd") < "2024-02-01")
+            & F2.col("props").isNotNull()
+        )
+        | (
+            (F2.date_format("ts", "yyyy-MM-dd") >= "2024-02-01")
+            & F2.col("props").isNull()
+        )
+    )
+    assert bad.count() == 0
+    assert out.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
