@@ -378,11 +378,14 @@ def main() -> None:
             ),
         )
 
-        # session-8 family (round 4): physical-layout tooling — ORC
-        # roundtrip (write+read, bloom-indexed), small-file compaction
-        # (fragment 24-way x per-day dirs, AQE-rebalance rewrite, full
-        # read-back), and the Morton z-order key (stats pass + codegen
-        # interleave over every event).
+        # session-8 family (round 4): physical-layout + ingest-robustness
+        # tooling — ORC roundtrip (write+read, bloom-indexed), small-file
+        # compaction (fragment 24-way x per-day dirs, AQE-rebalance
+        # rewrite, full read-back), the Morton z-order key (stats pass +
+        # codegen interleave over every event), corrupt-record
+        # quarantine (text+from_json parse of the whole table), and the
+        # superset-schema evolution read (two staged writes + dual-dir
+        # scan).
         layout_ops = _time_family(
             qmap,
             spark,
@@ -390,6 +393,8 @@ def main() -> None:
                 "source_orc_roundtrip",
                 "compact_roundtrip",
                 "zorder_key",
+                "source_jsonl_corrupt_audit",
+                "schema_evolution_read",
             ),
         )
 
