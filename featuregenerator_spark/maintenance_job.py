@@ -1,0 +1,129 @@
+"""spark-submit entry point: table maintenance (compaction, z-order).
+
+The operational counterpart of job.py / curation_job.py (same
+deployment contract — the SAME artifact runs unchanged at any executor
+count):
+
+    spark-submit --master <cluster> --py-files fg_spark.zip maintenance_job.py \\
+        --input  s3://.../events        (parquet, optionally ds-partitioned)
+        --output s3://.../events_v2
+        --config maintenance.json       (REQUIRED: the declared op chain)
+
+or locally: ``python -m featuregenerator_spark.maintenance_job --input ...``.
+
+The config is an ordered op chain; each op reads the previous op's
+output (starting from ``--input``) and the LAST op writes ``--output``
+— intermediate steps land under ``<output>__steps/``, and the final
+directory only appears complete (_SUCCESS) when the whole chain ran,
+so a killed run is re-run idempotently rather than half-published:
+
+    {"ops": [
+      {"op": "compact", "partition_cols": ["ds"], "advisory_mb": 128,
+       "sort_cols": ["ts"]},
+      {"op": "zorder", "cols": ["user_id", "ts"], "num_files": 64,
+       "bits": 16}
+    ]}
+
+Each op prints one JSON metrics line (files/bytes before and after,
+wall seconds) — the counters a table-maintenance cron needs to alert
+on (compaction that stops shrinking file counts is the canary for a
+misbehaving upstream writer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _dir_stats(path: str) -> dict:
+    if "://" in path:
+        # object-store URI: file counters would need the Hadoop FS API
+        # (driver-local glob would silently report 0) — report unknown
+        # rather than lie; the op itself runs fine on any URI Spark reads
+        return {"files": None, "bytes": None}
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return {
+        "files": len(files),
+        "bytes": sum(os.path.getsize(f) for f in files),
+    }
+
+
+def _run_op(spark, op: dict, src: str, dst: str) -> None:
+    kind = op["op"]
+    if kind == "compact":
+        from featuregenerator_spark.sources.compaction import compact_table
+
+        compact_table(
+            spark,
+            src,
+            dst,
+            partition_cols=tuple(op.get("partition_cols", ["ds"])),
+            advisory_bytes=int(op.get("advisory_mb", 128)) * 1024 * 1024,
+            sort_cols=tuple(op.get("sort_cols", [])),
+        )
+    elif kind == "zorder":
+        from featuregenerator_spark.sources.zorder import write_zordered
+
+        a, b = op["cols"]
+        write_zordered(
+            spark.read.parquet(src),
+            dst,
+            a,
+            b,
+            num_files=int(op.get("num_files", 64)),
+            bits=int(op.get("bits", 16)),
+        )
+    else:
+        raise ValueError(f"unknown maintenance op: {kind!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", required=True, help="maintenance op-chain JSON")
+    ap.add_argument("--app-name", default="fg-spark-maintenance")
+    args = ap.parse_args(argv)
+
+    from featuregenerator_spark.session import get_spark
+
+    spark = get_spark(args.app_name)
+    with open(args.config) as f:
+        ops = json.load(f)["ops"]
+    if not ops:
+        raise ValueError("config.ops is empty — nothing to do")
+
+    src = args.input
+    for i, op in enumerate(ops):
+        last = i == len(ops) - 1
+        dst = args.output if last else f"{args.output}__steps/{i:02d}_{op['op']}"
+        before = _dir_stats(src)
+        t0 = time.time()
+        _run_op(spark, op, src, dst)
+        after = _dir_stats(dst)
+        print(
+            json.dumps(
+                {
+                    "op": op["op"],
+                    "step": i,
+                    "src": src,
+                    "dst": dst,
+                    "files_before": before["files"],
+                    "files_after": after["files"],
+                    "bytes_before": before["bytes"],
+                    "bytes_after": after["bytes"],
+                    "wall_sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        src = dst
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
