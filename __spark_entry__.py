@@ -3108,6 +3108,30 @@ def q_schema_evolution_read(spark, sf_dir):
     )
 
 
+def q_source_csv_corrupt_audit(spark, sf_dir):
+    """The CSV twin of the JSONL corrupt audit: write events as RFC 4180
+    CSV, inject a garbage part file (wrong column count, type-mismatch
+    event_id, unparseable double), read back audited (text + from_csv;
+    per-part header lines filtered by DDL-derived exact text), return
+    the GOOD rows. Oracle reads the original parquet — the gate proves
+    headers and garbage are removed and every real row survives."""
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_csv_audited,
+        write_events_csv,
+    )
+
+    path = _text_source_stage(sf_dir, "csv_audit")
+    write_events_csv(_events(spark, sf_dir), path)
+    with open(os.path.join(path, "part-99999-garbage.csv"), "w") as f:
+        f.write("not,enough,cols\n")
+        f.write('xx,2024-01-01 00:00:00.000000,1,view,1.0,"p"\n')
+        f.write('77,2024-01-01 00:00:00.000000,1,view,notadouble,"p"\n')
+    good, _quarantined = read_events_csv_audited(spark, path)
+    return good.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3645,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-8 overflow: additive schema evolution under one
         # declared superset schema; oracle = CASE on the cutoff date
         "schema_evolution_read": q_schema_evolution_read,
+        "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -5045,6 +5070,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type, value,
                    CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-02-01'
                         THEN NULL ELSE props END AS props
+            FROM events""",
+        "source_csv_corrupt_audit": """
+            SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
         "zorder_key": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,

@@ -394,6 +394,7 @@ def main() -> None:
                 "compact_roundtrip",
                 "zorder_key",
                 "source_jsonl_corrupt_audit",
+                "source_csv_corrupt_audit",
                 "schema_evolution_read",
             ),
         )

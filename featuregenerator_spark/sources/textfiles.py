@@ -141,3 +141,47 @@ def read_events_jsonl_audited(
         "event_id", "raw_line"
     )
     return good, quarantined
+
+
+def read_events_csv_audited(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV ingest: ``(good, quarantined)`` — the CSV twin of
+    :func:`read_events_jsonl_audited`, same ``read.text`` + ``from_csv``
+    shape for the same reason (the native reader's corrupt
+    pseudo-column restriction) and the same partial-row semantics (a
+    type-mismatch field still parses its neighbors; "good" is strictly
+    ``_corrupt IS NULL``).
+
+    CSV-specific handling: the writer emits a header line per part
+    file, which a text-level parse would see as one corrupt row per
+    file — header lines are filtered by exact text (derived from the
+    DDL, so the two cannot drift apart). Line-oriented auditing
+    assumes no embedded newlines inside quoted fields (the events wire
+    format never emits them); multiline CSV needs the native reader
+    and loses the corrupt audit.
+    """
+    ddl = f"{EVENTS_TEXT_DDL}, {CORRUPT_COL} string"
+    header = ",".join(
+        p.strip().split()[0] for p in EVENTS_TEXT_DDL.split(",")
+    )
+    opts = {k: v for k, v in _CSV_OPTS.items() if k != "header"}
+    opts.update(
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    )
+    flat = (
+        spark.read.text(path)
+        .filter(F.col("value") != header)
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_csv("value", ddl, opts).alias("r"),
+        )
+        .select("raw_line", "r.*")
+    )
+    good = _from_text_form(
+        flat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "raw_line")
+    )
+    quarantined = flat.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        "event_id", "raw_line"
+    )
+    return good, quarantined

@@ -108,3 +108,36 @@ def test_jsonl_corrupt_audit_quarantines_exactly(spark, tmp_path):
     # never on a field being non-null)
     mismatch = [r for r in q if "not-a-long" in r["raw_line"]]
     assert len(mismatch) == 1 and mismatch[0]["event_id"] is None
+
+
+def test_csv_corrupt_audit_quarantines_exactly(spark, tmp_path):
+    """CSV twin: per-part header lines are filtered (not quarantined),
+    the injected garbage is quarantined verbatim with partial-row
+    semantics, and good rows survive byte-identically — including the
+    quote-doubling and padded-whitespace worst cases."""
+    from featuregenerator_spark.sources.textfiles import (
+        read_events_csv_audited,
+    )
+
+    df = spark.createDataFrame(ROWS, DDL)
+    path = str(tmp_path / "ca")
+    # several part files -> several header lines to filter
+    write_events_csv(df.repartition(3), path)
+    bad = [
+        "not,enough,cols",
+        'xx,2024-01-01 00:00:00.000000,1,view,1.0,"p"',
+        '77,2024-01-01 00:00:00.000000,1,view,notadouble,"p"',
+    ]
+    with open(f"{path}/part-99999-garbage.csv", "w") as f:
+        f.write("\n".join(bad) + "\n")
+
+    good, quarantined = read_events_csv_audited(spark, path)
+    got = {r["event_id"]: r for r in good.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2]["props"] == 'say "hi, there", then ""quoted"" again'
+    assert got[3]["props"] == "  padded  "
+    q = quarantined.collect()
+    assert sorted(r["raw_line"] for r in q) == sorted(bad)
+    # partial-row: the bad-double line keeps its parsed event_id
+    baddouble = [r for r in q if "notadouble" in r["raw_line"]]
+    assert len(baddouble) == 1 and baddouble[0]["event_id"] == 77
