@@ -33,24 +33,30 @@ misbehaving upstream writer).
 from __future__ import annotations
 
 import argparse
-import glob
 import json
-import os
 import sys
 import time
 
 
-def _dir_stats(path: str) -> dict:
-    if "://" in path:
-        # object-store URI: file counters would need the Hadoop FS API
-        # (driver-local glob would silently report 0) — report unknown
-        # rather than lie; the op itself runs fine on any URI Spark reads
-        return {"files": None, "bytes": None}
-    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    return {
-        "files": len(files),
-        "bytes": sum(os.path.getsize(f) for f in files),
-    }
+def _dir_stats(spark, path: str) -> dict:
+    """File/byte counters via the Hadoop FileSystem API, so they are
+    truthful for ANY scheme Spark can read (a driver-local glob would
+    silently report 0 for s3://... — the listing pattern
+    operators/dedup_cluster.py already uses for resume)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {"files": 0, "bytes": 0}
+    it = fs.listFiles(hpath, True)
+    files = 0
+    size = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            files += 1
+            size += st.getLen()
+    return {"files": files, "bytes": size}
 
 
 def _run_op(spark, op: dict, src: str, dst: str) -> None:
@@ -102,10 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     for i, op in enumerate(ops):
         last = i == len(ops) - 1
         dst = args.output if last else f"{args.output}__steps/{i:02d}_{op['op']}"
-        before = _dir_stats(src)
+        before = _dir_stats(spark, src)
         t0 = time.time()
         _run_op(spark, op, src, dst)
-        after = _dir_stats(dst)
+        after = _dir_stats(spark, dst)
         print(
             json.dumps(
                 {
