@@ -3132,6 +3132,25 @@ def q_source_csv_corrupt_audit(spark, sf_dir):
     )
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed PCA, stage 1: the full 64x64 population covariance of
+    the embedding table via ONE mapInPandas Gram pass (each Arrow batch
+    ships d*d+d+1 floats — no per-row Python, no d^2 codegen select, no
+    explode amplification; `operators/pca.py`). The DuckDB oracle
+    recomputes every entry as covar_pop(e[i], e[j]) over an i x j range
+    cross join — the gate proves all 4096 entries to 6 decimals."""
+    from featuregenerator_spark.operators.pca import covariance
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cov, _mu = covariance(emb, "embedding", 64)
+    rows = [
+        (i + 1, j + 1, round(float(cov[i, j]), 6))
+        for i in range(64)
+        for j in range(64)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
 def q_config_compiled(spark, sf_dir):
     """The declarative surface end-to-end: JSON FeatureConfig -> compiled
     single select() (id + raw-bucketize + combo in one Catalyst plan)."""
@@ -3670,6 +3689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared superset schema; oracle = CASE on the cutoff date
         "schema_evolution_read": q_schema_evolution_read,
         "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
+        # session-8 overflow: distributed-PCA covariance (mapInPandas
+        # Gram partials; every 64x64 entry oracle-checked); the eigen/
+        # projection stage is pinned sign-invariantly vs numpy in
+        # tests/test_pca.py
+        "embedding_covariance": q_embedding_covariance,
         # --- stable queries displaced past slot 50 by the session-6/7
         # --- insertions (unchanged in r4; green rows from r01-r03, and
         # --- every local gate replica re-checks them) ---
@@ -5074,6 +5098,14 @@ def oracle_sql() -> dict[str, str]:
         "source_csv_corrupt_audit": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events""",
+        "embedding_covariance": """
+            SELECT i.i, j.j,
+                   round(covar_pop(e.embedding[i.i], e.embedding[j.j]), 6)
+                     AS cov
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+            GROUP BY i.i, j.j""",
         "zorder_key": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,
                               max(CAST(user_id AS DOUBLE)) AS umx,
