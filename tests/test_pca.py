@@ -74,3 +74,16 @@ def test_pca_project_variance_is_eigenvalue(emb, local_x):
     assert np.allclose(np.diag(pcov), ev, atol=1e-8)
     off = pcov - np.diag(np.diag(pcov))
     assert np.abs(off).max() < 1e-8
+
+
+def test_ann_pca_top10_recall_vs_brute(spark):
+    """The PCA-shortlist ANN must recover >=0.9 of the brute-force
+    top-10; at the tested SFs the shortlist of 100 at k=32 recovers it exactly."""
+    import __spark_entry__ as m
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        brute = [r["vec_id"] for r in m.queries()["ann_cosine_top10"](spark, sf).collect()]
+        pca = [r["vec_id"] for r in m.queries()["ann_pca_top10"](spark, sf).collect()]
+        hits = len(set(brute) & set(pca))
+        assert hits >= 9, (sf, brute, pca)
+        assert pca == brute, (sf, pca, brute)  # exact at these SFs

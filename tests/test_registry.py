@@ -16,6 +16,9 @@ import __spark_entry__ as m
 ROWS_ONLY = {
     "ann_ivf_top10",
     "ann_lsh_top10",
+    # PCA-shortlist ANN can miss by design; recall + brute-identity pins
+    # live in tests/test_pca.py
+    "ann_pca_top10",
     "dedup_cc_incremental_lsh",
     "dedup_cc_lsh",
     "dedup_incremental_lsh",
