@@ -3894,7 +3894,7 @@ def oracle_sql() -> dict[str, str]:
     from featuregenerator_spark.operators.quality_model import (
         DEMO_BIAS,
         DEMO_WEIGHTS,
-        weights_values_sql,
+        weights_values_sql_scaled,
     )
     from featuregenerator_spark.sources.zorder import zorder_key_sql
 
@@ -3906,12 +3906,12 @@ def oracle_sql() -> dict[str, str]:
     gap = "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     sql = {
         "quality_model_score": f"""
-            WITH v(token, weight) AS {weights_values_sql(DEMO_WEIGHTS)},
+            WITH v(token, w10) AS {weights_values_sql_scaled(DEMO_WEIGHTS, 10)},
             t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),
             e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
             s AS (SELECT doc_id,
-                         ({DEMO_BIAS} + sum(coalesce(v.weight, 0.0)) / n)
+                         ({DEMO_BIAS} + (sum(coalesce(v.w10, 0)) / 10.0) / n)
                            AS score
                   FROM e LEFT JOIN v ON e.tok = v.token
                   GROUP BY doc_id, n)

@@ -71,16 +71,39 @@ def linear_score_columns(
     sigmoid. Map lookup via element_at semantics (NULL when absent ->
     coalesce 0), the sum via one ``aggregate`` HOF pass.
     """
-    wmap = F.create_map(
-        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
-    )
-    toks = _words(text)
-    total = F.aggregate(
-        toks,
-        F.lit(0.0),
-        lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0.0)),
-    )
-    score = F.lit(float(bias)) + total / F.size(toks)
+    scale = weights_int_scale(weights)
+    if scale is not None:
+        # Exact path: sum INTEGER scaled weights (order-independent —
+        # integer addition is associative, float addition is not), then
+        # divide once. This kills the cross-engine parity flake where a
+        # score landing on a round(…, 6) boundary flipped between
+        # Spark's text-order HOF fold and an oracle's group-sum order.
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for tok, wt in sorted(weights.items())
+                for x in (tok, int(round(wt * scale)))
+            ]
+        )
+        toks = _words(text)
+        total = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0).cast("long")),
+        )
+        mean = (total / F.lit(float(scale))) / F.size(toks)
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+        )
+        toks = _words(text)
+        total = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, w: acc + F.coalesce(wmap[w], F.lit(0.0)),
+        )
+        mean = total / F.size(toks)
+    score = F.lit(float(bias)) + mean
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
     return {"quality_score": score, "quality_prob": prob}
 
@@ -112,11 +135,34 @@ def linear_score_join(
     )
 
 
+def weights_int_scale(weights: dict[str, float], max_pow: int = 6) -> int | None:
+    """Smallest power-of-10 scale making every weight integral (checked
+    to 1e-9), or None if no scale up to 10**max_pow works. Checkpoint
+    weights are typically quantized decimals, so the exact integer-sum
+    path almost always applies."""
+    for p in range(max_pow + 1):
+        s = 10 ** p
+        if all(abs(w * s - round(w * s)) < 1e-9 for w in weights.values()):
+            return s
+    return None
+
+
 def weights_values_sql(weights: dict[str, float]) -> str:
     """The fixture as a SQL VALUES list, for composing DuckDB oracles
     from the same dict the Spark plan uses."""
     rows = ", ".join(
         f"('{tok}', {wt}::DOUBLE)" for tok, wt in sorted(weights.items())
+    )
+    return f"(VALUES {rows})"
+
+
+def weights_values_sql_scaled(weights: dict[str, float], scale: int) -> str:
+    """Integer-scaled VALUES list — the oracle twin of the exact path in
+    ``linear_score_columns``: sum BIGINTs, divide by the scale once, so
+    the oracle's group-sum order cannot perturb the float result."""
+    rows = ", ".join(
+        f"('{tok}', {int(round(wt * scale))}::BIGINT)"
+        for tok, wt in sorted(weights.items())
     )
     return f"(VALUES {rows})"
 
