@@ -3606,80 +3606,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r02 to the tail. Every query keeps local oracle coverage via
     # tools/check_oracle.py regardless of position.
     qs = {
-        # --- added in round 4 session 6: LM-perplexity quality filter;
-        # --- displaces normalizer_minmax (r03-green, unchanged) ---
-        "quality_lm_perplexity": q_quality_lm_perplexity,
-        # --- added in round 4 session 6: paragraph-granularity dedup;
-        # --- displaces kgb_grouped_bytes (r03-green, unchanged) ---
-        "paragraph_dedup": q_paragraph_dedup,
-        # --- added in round 4 session 6: zero-Exchange bucketed layout;
-        # --- displaces kgb_hit_ret_combo (r03-green, unchanged) ---
-        "rolling_count_bucketed": q_rolling_count_bucketed,
-        # --- added in round 4 session 6: mixture resampling; displaces
-        # --- lookup_gap_max_kernel (r03-green, unchanged) ---
-        "source_mix_sample": q_source_mix_sample,
-        # --- added in round 4 session 6: stream-static ingest dedup;
-        # --- displaces normalizer_bound_regular (r03-green, unchanged) ---
-        "streaming_dedup_parity": q_streaming_dedup_parity,
-        # --- added in round 4 session 6: declarative mix/dedup/ppl
-        # --- pipeline; displaces match_weighting (r03-green, unchanged) ---
+        # --- ROUND-5 WINDOW (slots 1-50). Rotation policy: every query
+        # --- whose code path changed this round, plus every query that has
+        # --- never received a driver row, sits in slots 1-50; displaced
+        # --- queries all hold green rows from r01-r04 and keep local gate
+        # --- coverage via tools/check_oracle.py.
+        # --- Slots 1-13: the round-4 session-7/8 overflow (VERDICT r4 #2)
+        # --- that never got a driver row; slot 14: config_compiled re-enters
+        # --- because spec.py changes this round. Displaced to tail: 14
+        # --- r4-green unchanged queries (see tail block).
+        # round-4 overflow, never driver-checked: rotate into slots 1-50
+        "config_compiled_chunks": q_config_compiled_chunks,
+        "dataset_split_assign": q_dataset_split_assign,
+        "sample_stratified_lang": q_sample_stratified_lang,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "pack_materialize": q_pack_materialize,
+        # ORC roundtrip (verbatim-events oracle)
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        # AQE-REBALANCE small-file compaction, value-lossless vs original
+        "compact_roundtrip": q_compact_roundtrip,
+        # Morton layout key, same interleave expr on both engines
+        "zorder_key": q_zorder_key,
+        # quarantine-don't-fail JSONL ingest
+        "source_jsonl_corrupt_audit": q_source_jsonl_corrupt_audit,
+        # additive schema evolution under superset schema
+        "schema_evolution_read": q_schema_evolution_read,
+        # RFC 4180 corrupt-record quarantine
+        "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
+        # distributed-PCA Gram pass, all 64x64 entries oracle-checked
+        "embedding_covariance": q_embedding_covariance,
+        # rows-only BY DESIGN (PCA shortlist recall-pinned in tests/test_pca.py)
+        "ann_pca_top10": q_ann_pca_top10,
+        # re-enters: spec.py parse_config gains the chunk-amplifier guard in r5
+        "config_compiled": q_config_compiled,
+        # --- r4-window queries kept in-window (green r4 rows; several are
+        # --- changed-in-r5 or rows-only and must stay: quality_model_score
+        # --- fixed r5, simhash/image-phash caps land r5, config_compiled_*
+        # --- re-check with the spec.py guard, interval_session_assign with
+        # --- the interval.py dedup-contract change) ---
         "config_compiled_mix": q_config_compiled_mix,
-        # --- added in round 4 session 6: TF-IDF top terms; displaces
-        # --- combo_sorted_pruneright (r03-green, unchanged) ---
-        "tfidf_top_terms": q_tfidf_top_terms,
-        # --- added in round 4 session 6: corpus profiling; displaces
-        # --- preclick_decode_kv (r03-green, unchanged) ---
-        "corpus_stats_per_source": q_corpus_stats_per_source,
-        # --- added in round 4 session 6: quality-aware dedup remediation;
-        # --- displaces lookup_legacy_v3_decode (r03-green, unchanged) ---
-        "dedup_keep_best": q_dedup_keep_best,
-        # --- added in round 4 session 6: text canonicalization; displaces
-        # --- lookup_legacy_btree_decode (r03-green, unchanged) ---
-        "text_normalize": q_text_normalize,
-        # --- added in round 4 session 7: audio DSP features (batched
-        # --- rfft); displaces simhash_neardup (rows-only row recorded in
-        # --- r03, operator unchanged since) ---
-        "audio_spectral": q_audio_spectral,
-        # --- added in round 4 session 7: text source formats (JSONL/CSV
-        # --- roundtrip fidelity); displace lookup_legacy_sparse_decode
-        # --- and multimodal_image_decode (both r03-green, unchanged) ---
-        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        # --- added in round 4 session 7: SemDeDup semantic dedup
-        # --- (rows-only: iterative k-means); displaces simhash
-        # --- (rows-only r03 row, operator unchanged) ---
         "semdedup_prune": q_semdedup_prune,
-        # --- added in round 4 session 7: oracle-checked theta-sketch
-        # --- battery (distinct-count + quantile estimates); displaces
-        # --- multimodal_video_decode (r03-green, unchanged) ---
-        "sketch_profile_events": q_sketch_profile_events,
-        # --- added in round 4 session 7: time-decayed EWMA features;
-        # --- displaces lookup_combo_simple (r03-green, unchanged) ---
-        "ewma_decayed_activity": q_ewma_decayed_activity,
-        # --- added in round 4 session 7: bucketed range join; displaces
-        # --- backfill_purchase_chunked (r03-green; skew.py's r4 change is
-        # --- purely additive and backfill_purchase_auto keeps the chunked
-        # --- backfill path driver-covered) ---
         "interval_session_assign": q_interval_session_assign,
-        # --- added in round 4 session 7: cross-modality perceptual-hash
-        # --- dedup (rows-only: image decode); displaces
-        # --- asof_last_purchase_chunked (r03-green; skew.py's r4 change
-        # --- is purely additive and asof_snapshot_auto keeps the chunked
-        # --- as-of path driver-covered) ---
         "image_phash_neardup": q_image_phash_neardup,
-        # --- added in round 4 session 7: streaming EWMA parity; displaces
-        # --- sessionize_30m_chunked (r03-green; skew.py's r4 change is
-        # --- purely additive; rolling_count_1h_chunked stays in-window as
-        # --- the chunked-window family representative) ---
         "streaming_decayed_parity": q_streaming_decayed_parity,
-        # --- added in round 4 session 7: chunk + pack (the training-batch
-        # --- tail); displaces rolling_count_1h_chunked (r03-green;
-        # --- skew.py's r4 change is purely additive — the whole chunked
-        # --- family now holds r03 rows at the tail, with the skew-stress
-        # --- bench entries and the auto-routed asof/backfill queries
-        # --- keeping the skew path driver-covered) ---
         "chunk_pack_documents": q_chunk_pack_documents,
-        # --- changed or added in round 3 (need fresh driver rows) ---
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -3687,9 +3657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
-        # --- added or changed in round 4 (must sit in slots 1-50; the
-        # --- stated rotation policy: any query whose plan changes in a
-        # --- round re-enters the driver window that round) ---
         "asof_snapshot_auto": q_asof_snapshot_auto,
         "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
@@ -3706,64 +3673,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
-        # token_count's physical form changed in r4 (regexp_count +
-        # translate replaces the alternation extract_all) -> re-enters
-        # the window; displaces raw_multivalue_pad (r03-green, unchanged)
         "token_count_regex": q_token_count_regex,
-        # new in r4 session 4; displace lookup_combo_counts and
-        # preclick_match_words (both r03-green, unchanged)
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
-        # declarative substring-dedup; displaces lookup_v1_weighting
         "config_compiled_dedup": q_config_compiled_dedup,
-        # model-based quality filter; displaces normalizer_log10
         "quality_model_score": q_quality_model_score,
-        # CC over cosine edges (third edge type); displaces overlap_divided
         "dedup_cc_cosine": q_dedup_cc_cosine,
-        # streaming sink staging/naming changed in r4 -> stays in-window
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
-        # --- session-7 overflow (slot 51+): locally gate-checked every
-        # --- session via tools/check_oracle.py (the judge's full-registry
-        # --- rerun covers these too); in-window driver coverage for the
-        # --- underlying operators rides chunk_pack_documents ---
-        "config_compiled_chunks": q_config_compiled_chunks,
-        "dataset_split_assign": q_dataset_split_assign,
-        "sample_stratified_lang": q_sample_stratified_lang,
-        "decontaminate_benchmark": q_decontaminate_benchmark,
-        "pack_materialize": q_pack_materialize,
-        # session-8 overflow: ORC joins the JSONL/CSV roundtrip family
-        # (same verbatim oracle); locally gate-checked, cross-SF-diffed
-        # in tests/test_columnar.py
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        # session-8 overflow: small-file compaction via AQE REBALANCE;
-        # oracle reads the ORIGINAL parquet so the gate proves the
-        # rewrite value-lossless; file-count collapse pinned in
-        # tests/test_compaction.py
-        "compact_roundtrip": q_compact_roundtrip,
-        # session-8 overflow: Morton layout key — both engines evaluate
-        # the same generated bit-interleave expression, so the gate
-        # proves the z-order math; file-rectangle locality pinned via
-        # parquet footer stats in tests/test_zorder.py
-        "zorder_key": q_zorder_key,
-        # session-8 overflow: quarantine-don't-fail ingest; oracle =
-        # the original events, so the gate proves the corrupt filter
-        # removes exactly the injected lines
-        "source_jsonl_corrupt_audit": q_source_jsonl_corrupt_audit,
-        # session-8 overflow: additive schema evolution under one
-        # declared superset schema; oracle = CASE on the cutoff date
-        "schema_evolution_read": q_schema_evolution_read,
-        "source_csv_corrupt_audit": q_source_csv_corrupt_audit,
-        # session-8 overflow: distributed-PCA covariance (mapInPandas
-        # Gram partials; every 64x64 entry oracle-checked); the eigen/
-        # projection stage is pinned sign-invariantly vs numpy in
-        # tests/test_pca.py
-        "embedding_covariance": q_embedding_covariance,
-        # session-8 overflow, rows-only BY DESIGN (PCA shortlist can
-        # miss): recall + output-identity pins in tests/test_pca.py
-        "ann_pca_top10": q_ann_pca_top10,
-        # --- stable queries displaced past slot 50 by the session-6/7
-        # --- insertions (unchanged in r4; green rows from r01-r03, and
-        # --- every local gate replica re-checks them) ---
+        # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
+        "quality_lm_perplexity": q_quality_lm_perplexity,
+        "paragraph_dedup": q_paragraph_dedup,
+        "rolling_count_bucketed": q_rolling_count_bucketed,
+        "source_mix_sample": q_source_mix_sample,
+        "streaming_dedup_parity": q_streaming_dedup_parity,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_stats_per_source": q_corpus_stats_per_source,
+        "dedup_keep_best": q_dedup_keep_best,
+        "text_normalize": q_text_normalize,
+        "audio_spectral": q_audio_spectral,
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "sketch_profile_events": q_sketch_profile_events,
+        "ewma_decayed_activity": q_ewma_decayed_activity,
+        # --- tail: green driver rows recorded in r01-r03, unchanged ---
         "lookup_array_kernel_parity": q_same_type_kernel_parity,
         "user_stats_salted": q_user_stats_salted,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -3772,8 +3704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "neardup_cosine": q_neardup_cosine,
-        # --- tail (green driver rows recorded in CORRECTNESS_r01/r02/r03) ---
-        # displaced to tail in r4 (unchanged this round; green r03 rows)
         "match_cross": q_match_cross,
         "asof_pandas_parity": q_asof_pandas_parity,
         "rolling_min_exclusive": q_rolling_min_exclusive,
@@ -3830,8 +3760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_feature_multivalue": q_id_feature_multivalue,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_wav_decode": q_multimodal_wav,
-        "config_compiled": q_config_compiled,
-        # displaced to tail in r4 session 7 (unchanged; r03 driver rows)
         "simhash_neardup": q_simhash_neardup,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
