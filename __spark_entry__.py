@@ -1404,7 +1404,39 @@ def simhash_segments(sim: "F.Column"):
     return out
 
 
-def q_simhash_neardup(spark, sf_dir):
+def _cap_hot_buckets(segs, keys, bucket_cap, observation=None):
+    """Drop pigeonhole band buckets with more than ``bucket_cap`` members
+    before a pairing self-join — the SimHash-family twin of the MinHash
+    hot-bucket guard in q_minhash_lsh_candidates. A degenerate
+    fingerprint (empty/boilerplate docs, blank images: everything hashes
+    to one value) makes one (seg, val) bucket with k members emit k^2
+    pairs; AQE skew splitting redistributes that partition but cannot
+    shrink the quadratic OUTPUT, so the guard must run before the join.
+    Sizes aggregate map-side on the narrow band table and AQE broadcasts
+    the filtered semi-join side. Pass a pyspark Observation to audit
+    (dropped_buckets, total_buckets) with the job — attached only on
+    request for the same plan-reuse reason as the MinHash cap. Caveat
+    (applies to the MinHash cap too): if the cap empties the OUTPUT
+    entirely, AQE's empty-relation propagation prunes the observed
+    subtree and Observation.get has no metrics row — audit with a cap
+    that keeps at least one bucket alive."""
+    sizes = segs.groupBy(*keys).agg(F.count(F.lit(1)).alias("bsz"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("bsz") > bucket_cap).cast("long")), F.lit(0)
+            ).alias("dropped_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"),
+        )
+    return segs.join(
+        sizes.filter(F.col("bsz") <= bucket_cap).select(*keys),
+        list(keys),
+        "left_semi",
+    )
+
+
+def q_simhash_neardup(spark, sf_dir, bucket_cap: int = 4000, observation=None):
     """SimHash near-dup pairs: same-lang docs whose 64-bit fingerprints
     differ in <= 6 bits. Pairing is pigeonhole-banded: split the 64-bit
     fingerprint into 7 disjoint segments — Hamming <= 6 guarantees at
@@ -1412,7 +1444,9 @@ def q_simhash_neardup(spark, sf_dir):
     then verify with exact bit_count. Shuffle-partitioned hash join on
     narrow rows, never an O(n^2/lang) nested loop (xxhash-based ->
     rows-only check; exact parity with the brute-force pairing is pinned
-    in tests/test_plans.py)."""
+    in tests/test_plans.py). Buckets larger than bucket_cap are dropped
+    before pairing (lossless on the test corpora — capped==uncapped
+    pinned in tests/test_plans.py); pass an Observation to audit drops."""
     sims = q_simhash(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     sims = sims.join(docs, "doc_id")
@@ -1422,6 +1456,9 @@ def q_simhash_neardup(spark, sf_dir):
         "simhash",
         F.explode(F.array(*simhash_segments(F.col("simhash")))).alias("s"),
     ).select("doc_id", "lang", "simhash", "s.seg", "s.val")
+    segs = _cap_hot_buckets(
+        segs, ("seg", "val", "lang"), bucket_cap, observation
+    )
     a, b = segs.alias("a"), segs.alias("b")
     pairs = a.join(
         b,
@@ -1442,7 +1479,9 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
-def q_image_phash_neardup(spark, sf_dir):
+def q_image_phash_neardup(
+    spark, sf_dir, bucket_cap: int = 4000, observation=None
+):
     """Cross-modality near-dup: perceptual average-hash (aHash) over
     DECODED image payloads, paired with the same 7-segment pigeonhole
     equijoin the text SimHash path uses (Hamming <= 6 guarantees one
@@ -1451,7 +1490,10 @@ def q_image_phash_neardup(spark, sf_dir):
     pattern + per-id brightness/pixel jitter — measured within-group
     Hamming <= 3, cross-group >= 6); decode is not SQL-expressible ->
     rows-only, with banded==brute parity and planted recall 1.0 /
-    precision >= 0.99 pinned in tests/test_image_phash.py."""
+    precision >= 0.99 pinned in tests/test_image_phash.py. Buckets
+    larger than bucket_cap (blank/boilerplate images: one fingerprint,
+    k^2 pairs) are dropped before pairing — lossless on the test corpus
+    (capped==uncapped pinned); pass an Observation to audit drops."""
     from featuregenerator_spark.operators.image_phash import (
         ahash_images,
         synth_neardup_bmp_assets,
@@ -1472,6 +1514,7 @@ def q_image_phash_neardup(spark, sf_dir):
         "phash",
         F.explode(F.array(*simhash_segments(F.col("phash")))).alias("s"),
     ).select("asset_id", "phash", "s.seg", "s.val")
+    segs = _cap_hot_buckets(segs, ("seg", "val"), bucket_cap, observation)
     a, b = segs.alias("a"), segs.alias("b")
     pairs = a.join(
         b,
@@ -3648,7 +3691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "interval_session_assign": q_interval_session_assign,
         "image_phash_neardup": q_image_phash_neardup,
-        "streaming_decayed_parity": q_streaming_decayed_parity,
+        # simhash_neardup re-enters (hot-bucket cap lands in r5);
+        # displaces streaming_decayed_parity (r4-green, unchanged)
+        "simhash_neardup": q_simhash_neardup,
         "chunk_pack_documents": q_chunk_pack_documents,
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
@@ -3760,7 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_feature_multivalue": q_id_feature_multivalue,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_wav_decode": q_multimodal_wav,
-        "simhash_neardup": q_simhash_neardup,
+        "streaming_decayed_parity": q_streaming_decayed_parity,
         "lookup_legacy_sparse_decode": q_lookup_legacy_sparse,
         "multimodal_image_decode": q_multimodal_image,
         "simhash": q_simhash,

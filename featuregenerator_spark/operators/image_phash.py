@@ -51,6 +51,13 @@ def _ahash64(rgb) -> int:
 
     gray = rgb.astype(np.float64).mean(axis=2)
     h, w = gray.shape
+    if h < 8 or w < 8:
+        # trimming a sub-8px axis to a multiple of 8 yields a zero-size
+        # array whose block mean is NaN, collapsing the hash to 0 — every
+        # sub-8px image would silently become a mutual near-duplicate
+        raise ValueError(
+            f"aHash needs at least 8x8 pixels, got {h}x{w}"
+        )
     # 8x8 block means; trim to a multiple of 8 so reshape is exact
     hh, ww = (h // 8) * 8, (w // 8) * 8
     g = gray[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))

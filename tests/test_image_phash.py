@@ -108,3 +108,50 @@ def test_ahash_invariances():
     other = np.repeat((((x * 7) ^ (y * 3)) % 256).astype(np.uint8)[:, :, None], 3, axis=2)
     far = bin((h0 ^ _ahash64(other)) & (2**64 - 1)).count("1")
     assert far > 10, far
+
+
+def test_phash_cap_is_lossless_on_corpus_and_audits_degenerate(spark):
+    """Default cap must not change the image pair set (capped ==
+    uncapped); a tight cap on the same corpus must drop buckets, shrink
+    the output, and report the drops through the Observation."""
+    from pyspark.sql import Observation
+
+    import __spark_entry__ as m
+
+    sf_dir = "/root/testdata/sf0.001"
+    capped = {
+        tuple(r) for r in m.q_image_phash_neardup(spark, sf_dir).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in m.q_image_phash_neardup(
+            spark, sf_dir, bucket_cap=1 << 40
+        ).collect()
+    }
+    assert capped == uncapped
+    # audit leg: cap=25 sits between the corpus's median (19) and max
+    # (40) bucket size, so some buckets drop while output stays nonempty
+    # (a fully-emptied output lets AQE's empty-relation propagation prune
+    # the observed subtree and Observation.get has no row to return)
+    obs = Observation()
+    tight = {
+        tuple(r)
+        for r in m.q_image_phash_neardup(
+            spark, sf_dir, bucket_cap=25, observation=obs
+        ).collect()
+    }
+    assert tight and tight <= uncapped
+    got = obs.get
+    assert got["dropped_buckets"] >= 1
+    assert got["total_buckets"] > got["dropped_buckets"]
+
+
+def test_ahash_rejects_sub_8px_images():
+    """Images smaller than 8px on either axis must raise, not silently
+    hash to 0 (which would make every sub-8px image a mutual near-dup)."""
+    import numpy as np
+    import pytest
+
+    for shape in ((4, 32, 3), (32, 4, 3), (7, 7, 3)):
+        with pytest.raises(ValueError, match="at least 8x8"):
+            _ahash64(np.zeros(shape, dtype=np.uint8))

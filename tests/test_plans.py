@@ -231,3 +231,44 @@ def test_json_compiled_flagship_plans_like_handbuilt(parquet_transcripts):
     plan = _executed(out)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("+- Sort ") == 1, plan
+
+
+def test_cap_hot_buckets_drops_and_audits(spark):
+    """_cap_hot_buckets must drop exactly the over-cap buckets before the
+    pairing self-join (the k^2-output guard: AQE can redistribute a skewed
+    partition but cannot shrink a quadratic join OUTPUT) and report
+    (dropped_buckets, total_buckets) through a passed Observation."""
+    from pyspark.sql import Observation
+
+    import __spark_entry__ as entry
+
+    segs = spark.createDataFrame(
+        [(i, 0, 7, "en") for i in range(20)]
+        + [(100, 1, 9, "en"), (101, 1, 9, "en")],
+        "doc_id long, seg int, val long, lang string",
+    )
+    obs = Observation()
+    kept = entry._cap_hot_buckets(segs, ("seg", "val", "lang"), 10, obs)
+    assert {r["doc_id"] for r in kept.collect()} == {100, 101}
+    m = obs.get
+    assert m["dropped_buckets"] == 1
+    assert m["total_buckets"] == 2
+
+
+def test_simhash_neardup_cap_is_lossless_on_corpus(spark):
+    """The default hot-bucket cap must not change the simhash pair set on
+    the test corpus (capped == uncapped, exact set equality), so the
+    degenerate-bucket guard is pure protection, not an approximation."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    capped = {
+        tuple(r) for r in entry.q_simhash_neardup(spark, sf_dir).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in entry.q_simhash_neardup(
+            spark, sf_dir, bucket_cap=1 << 40
+        ).collect()
+    }
+    assert capped == uncapped
