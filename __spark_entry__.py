@@ -5462,7 +5462,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN ss ON e.event_id = ss.event_id
         GROUP BY e.user_id, ss.session_idx"""
     # interval_session_assign: the NAIVE BETWEEN range join over the same
-    # sessionize-composed +/-60s windows — the gate proves the bucketed
+    # sessionize-composed +/-2000s windows — the gate proves the bucketed
     # range join (plans/interval.py) equals the naive formulation.
     sql["interval_session_assign"] = f"""
         WITH ss AS ({sql["sessionize_30m"]}),

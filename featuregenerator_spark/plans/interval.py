@@ -12,9 +12,13 @@ bucket width of each other, and Catalyst shuffles both sides by the
 compound key like any equijoin. Cost: intervals duplicate by
 ceil(len/bucket)+1 rows (bounded by ``max_interval_buckets`` — a loud
 error beats a silent 10^6-row explode when an interval is malformed);
-points never duplicate; exact containment filters after the equijoin,
-and one ``distinct`` removes the double-count when a (point, interval)
-pair shares several buckets.
+points never duplicate; exact containment filters after the equijoin.
+No dedup pass is needed: each point row lands in exactly ONE bucket
+(floor of its own ts), and an interval's exploded buckets are distinct,
+so a (point-row, interval-row) pair can meet in at most one bucket —
+the join already has plain SQL-join multiplicity, and duplicate rows in
+either input are preserved exactly as the naive BETWEEN join would
+preserve them.
 
 Pick ``bucket_seconds`` near the typical interval length: much smaller
 multiplies the interval explode; much larger lets each bucket pair
@@ -73,11 +77,14 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_ts))
         & (F.col(point_ts) <= F.col(end_ts))
     )
+    # no distinct: the point's single bucket meets each exploded interval
+    # row at most once, so this already has exact SQL-join multiplicity
+    # (a full-row distinct here would silently collapse genuinely
+    # duplicated input rows — and cost a shuffle)
     matched = (
         pt.join(iv, keys + ["__bucket"], "inner")
         .filter(cond)
         .drop("__bucket")
-        .distinct()
     )
     if how == "inner":
         return matched

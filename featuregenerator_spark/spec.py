@@ -385,17 +385,24 @@ def parse_config(config: str | dict) -> list[FeatureSpec]:
         None,
     )
     if mix_at is not None:
+        # amplifiers are id-sensitive too: 'chunk' joins chunk rows back
+        # on id_col and assumes unique ids, so source_mix -> chunk (or
+        # chunk -> chunk) would silently emit k^2 duplicated chunk rows
+        # per document — the same silent-blowup class as the per-id
+        # corpus lifts. One amplifier per pipeline, nothing id-sensitive
+        # after it.
         per_id_after = [
             s.feature_name
             for s in specs[mix_at + 1 :]
-            if s.feature_type in _PER_ID_CORPUS_TYPES
+            if s.feature_type in (_PER_ID_CORPUS_TYPES | _ROW_AMPLIFYING_TYPES)
         ]
         if per_id_after:
             raise ValueError(
                 f"per-document corpus lifts {per_id_after} declared AFTER "
                 f"the row-amplifying {specs[mix_at].feature_type!r} would "
                 "compute over amplified (duplicated) rows; declare them "
-                "before the resample/chunk stage"
+                "before the resample/chunk stage (and use at most one "
+                "resample/chunk stage per pipeline)"
             )
     return specs
 

@@ -104,3 +104,50 @@ def test_compound_key(spark):
         for r in interval_join(pt, iv, ["k", "k2"], "t", "lo", "hi").collect()
     }
     assert got == {(10, 1)}
+
+
+def test_duplicate_rows_keep_sql_join_multiplicity(spark):
+    """Duplicate point rows and duplicate interval rows must survive with
+    exact SQL-join multiplicity (the old full-row distinct silently
+    collapsed them): 2 identical points x 2 identical intervals -> 4
+    matched rows, exactly what the naive BETWEEN join emits — for every
+    bucket width, including one where the interval spans many buckets."""
+    iv = spark.createDataFrame(
+        [("a", 1, 100.0, 250.0), ("a", 1, 100.0, 250.0)], IV_DDL
+    )
+    pt = spark.createDataFrame(
+        [("a", 10, 150.0), ("a", 10, 150.0), ("a", 11, 300.0)], PT_DDL
+    )
+    naive = sorted(
+        map(
+            tuple,
+            pt.join(iv, "k")
+            .filter((F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+            .select("pt_id", "iv_id")
+            .collect(),
+        )
+    )
+    assert naive == [(10, 1)] * 4
+    for bucket in (10.0, 60.0, 10000.0):
+        got = sorted(
+            map(
+                tuple,
+                interval_join(
+                    pt, iv, "k", "t", "lo", "hi", bucket_seconds=bucket
+                )
+                .select("pt_id", "iv_id")
+                .collect(),
+            )
+        )
+        assert got == naive, (bucket, got)
+        # and the duplicated unmatched point keeps both copies on a left join
+        left = interval_join(
+            pt, iv, "k", "t", "lo", "hi", bucket_seconds=bucket, how="left"
+        )
+        pt2 = spark.createDataFrame(
+            [("a", 11, 300.0), ("a", 11, 300.0)], PT_DDL
+        )
+        left2 = interval_join(
+            pt2, iv, "k", "t", "lo", "hi", bucket_seconds=bucket, how="left"
+        )
+        assert left2.count() == 2

@@ -411,3 +411,25 @@ def test_chunk_pack_spec_compiles_to_operators(spark):
     )
     assert declared.exceptAll(built).count() == 0
     assert built.exceptAll(declared).count() == 0
+
+
+def test_amplifier_after_amplifier_is_rejected():
+    """'chunk' joins chunk rows back on id_col and assumes unique ids, so
+    a config where any row-amplifying stage precedes it (source_mix ->
+    chunk, chunk -> chunk) would silently yield k^2 duplicated chunk rows
+    per document — reject at parse time like the per-id corpus lifts."""
+    import pytest
+
+    from featuregenerator_spark.spec import parse_config
+
+    mix = {"feature_type": "source_mix", "feature_name": "m",
+           "id_column": "doc_id", "source_column": "source",
+           "rates": {"a": 2.0}}
+    chunk = {"feature_type": "chunk", "feature_name": "c",
+             "id_column": "doc_id", "max_tokens": 10}
+    chunk2 = dict(chunk, feature_name="c2")
+    for bad in ([mix, chunk], [chunk, chunk2], [chunk, mix]):
+        with pytest.raises(ValueError, match="AFTER the row-amplifying"):
+            parse_config({"features": bad})
+    # a single amplifier at the end still parses
+    assert len(parse_config({"features": [chunk]})) == 1
