@@ -2510,6 +2510,69 @@ def q_lookup_legacy_sparse(spark, sf_dir):
     )
 
 
+def q_legacy_encode_roundtrip(spark, sf_dir):
+    """WRITE-side legacy codec parity: build per-user {event_type: count}
+    maps relationally, ENCODE them into all four reference byte layouts
+    (V2 / V3 / sparse / B-tree) in one distributed Arrow pass
+    (operators/lookup_writer.py — the migration path for producing
+    reference-encoded binary columns from this engine), then DECODE each
+    payload back with the existing probe operators. The DuckDB oracle
+    computes the same counts directly from events, so the gate proves
+    encode -> decode == identity for every codec on real data (values
+    are integer counts: exact in f32/u8/u16, order-independent sums).
+    v2_len additionally pins the V2 layout size (12 bytes per key).
+    Reference encoders: LookupFeatureEncoder.cpp:1-302,
+    LookupFeatureSparseEncoder.cpp:87-116, LookupFeatureBTreeEncoder.h."""
+    from featuregenerator_spark.operators.lookup_legacy import (
+        lookup_legacy_btree,
+        lookup_legacy_sparse,
+        lookup_legacy_v2,
+        lookup_legacy_v3,
+    )
+    from featuregenerator_spark.operators.lookup_writer import (
+        encode_lookup_entries,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    ent = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type").alias("key"),
+                    F.col("cnt").alias("value"),
+                )
+            ).alias("entries")
+        )
+    )
+    enc = encode_lookup_entries(
+        ent,
+        "entries",
+        {
+            "p_v2": "v2",
+            "p_v3": "v3",
+            "p_sp": "sparse",
+            "p_bt": ("btree", {"block_size": 3}),
+        },
+    )
+    keys = ["purchase", "signup"]
+    dec = lookup_legacy_v2(enc, "p_v2", keys, out="v2_val")
+    dec = lookup_legacy_v3(dec, "p_v3", keys, dim=1, out_prefix="v3_val_")
+    dec = lookup_legacy_sparse(dec, "p_sp", keys, dim=1, out_prefix="sp_val_")
+    dec = lookup_legacy_btree(dec, "p_bt", keys, dim=1, out_prefix="bt_val_")
+    return dec.select(
+        "user_id",
+        F.size("entries").alias("n_types"),
+        F.length("p_v2").cast("int").alias("v2_len"),
+        "v2_val",
+        F.col("v3_val_0").alias("v3_val"),
+        F.col("sp_val_0").alias("sp_val"),
+        F.col("bt_val_0").alias("bt_val"),
+    )
+
+
 def q_overlap_diff(spark, sf_dir):
     """overlap_feature diff_word / hit_ornot / is_equal trio."""
     from featuregenerator_spark.operators.overlap_feature import overlap_feature
@@ -3711,7 +3774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
+        # new in r5: write-side legacy codecs (encode -> decode == id);
+        # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
+        "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
         "quality_gopher_rules": q_quality_gopher_rules,
         "quality_top_ngram": q_quality_top_ngram,
         "multimodal_png_decode": q_multimodal_png,
@@ -3810,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image,
         "simhash": q_simhash,
         "multimodal_video_decode": q_multimodal_video,
+        "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
         "lookup_combo_simple": q_lookup_combo_simple,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
@@ -4646,6 +4712,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(p_size AS REAL) AS DOUBLE) + 3.0, 4)
                    AS sparse_d1
             FROM part""",
+        # encode -> decode == identity for all four write-side codecs:
+        # the probed values are integer counts (exact in f32/u8/u16, sums
+        # order-independent), so the direct relational computation is the
+        # exact expected value; v2_len pins the V2 layout (12 bytes/key)
+        "legacy_encode_roundtrip": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+                   CAST(12 * count(DISTINCT event_type) AS INTEGER)
+                     AS v2_len,
+                   CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS v2_val,
+                   CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS v3_val,
+                   CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS sp_val,
+                   CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS bt_val
+            FROM events
+            GROUP BY user_id""",
         "overlap_diff": """
             SELECT doc_id,
               CAST((CASE WHEN NOT list_contains(string_split(text,' '),'spark') THEN 1 ELSE 0 END)
