@@ -3157,6 +3157,31 @@ def q_zorder_key(spark, sf_dir):
     return ev.select("event_id", z.alias("zkey"))
 
 
+def q_zorder_key3(spark, sf_dir):
+    """THREE-key Morton layout key over (user_id, epoch(ts), value):
+    the reference file-skipping use-case is point lookups on
+    (user, item, ts) — three keys — so the bit-interleave generalizes
+    to n keys (sources/zorder.py, n_keys*bits <= 63 budget). Both
+    engines evaluate the SAME generated n-ary interleave expression
+    (one Python loop emits both dialects); the oracle computes its own
+    min/max over the identical data — the gate proves the n-key Morton
+    math itself, not just row fidelity."""
+    from featuregenerator_spark.sources.zorder import zorder_key_columns
+
+    ev = _events(spark, sf_dir)
+    t = F.col("ts").cast("timestamp")
+    u = F.col("user_id")
+    v = F.col("value")
+    row = ev.agg(
+        F.min(u.cast("double")), F.max(u.cast("double")),
+        F.min(t.cast("double")), F.max(t.cast("double")),
+        F.min(v.cast("double")), F.max(v.cast("double")),
+    ).collect()[0]
+    stats = [(row[0], row[1]), (row[2], row[3]), (row[4], row[5])]
+    z = zorder_key_columns([u, t, v], stats, bits=16)
+    return ev.select("event_id", z.alias("zkey3"))
+
+
 def q_source_jsonl_corrupt_audit(spark, sf_dir):
     """PERMISSIVE ingest with corrupt-record quarantine: write the
     events table as JSONL, inject a deterministic garbage part file
@@ -3779,7 +3804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
         "quality_gopher_rules": q_quality_gopher_rules,
         "quality_top_ngram": q_quality_top_ngram,
-        "multimodal_png_decode": q_multimodal_png,
+        # new in r5: 3-key Morton interleave; displaces
+        # multimodal_png_decode (r4-green, png.py unchanged this round)
+        "zorder_key3": q_zorder_key3,
         "c4_line_filter": q_c4_line_filter,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
@@ -3876,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "multimodal_video_decode": q_multimodal_video,
         "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
+        "multimodal_png_decode": q_multimodal_png,
         "lookup_combo_simple": q_lookup_combo_simple,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
@@ -3935,11 +3963,19 @@ def oracle_sql() -> dict[str, str]:
         DEMO_WEIGHTS,
         weights_values_sql_scaled,
     )
-    from featuregenerator_spark.sources.zorder import zorder_key_sql
+    from featuregenerator_spark.sources.zorder import (
+        zorder_key_sql,
+        zorder_key_sql_n,
+    )
 
     zexpr = zorder_key_sql(
         "CAST(user_id AS DOUBLE)", "epoch(ts)",
         "s.umn", "s.umx", "s.tmn", "s.tmx", bits=16,
+    )
+    zexpr3 = zorder_key_sql_n(
+        ["CAST(user_id AS DOUBLE)", "epoch(ts)", "CAST(value AS DOUBLE)"],
+        [("s.umn", "s.umx"), ("s.tmn", "s.tmx"), ("s.vmn", "s.vmx")],
+        bits=16,
     )
 
     gap = "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
@@ -5238,6 +5274,15 @@ def oracle_sql() -> dict[str, str]:
                               max(epoch(ts)) AS tmx
                        FROM events)
             SELECT event_id, {zexpr} AS zkey FROM events, s""",
+        "zorder_key3": f"""
+            WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,
+                              max(CAST(user_id AS DOUBLE)) AS umx,
+                              min(epoch(ts)) AS tmn,
+                              max(epoch(ts)) AS tmx,
+                              min(CAST(value AS DOUBLE)) AS vmn,
+                              max(CAST(value AS DOUBLE)) AS vmx
+                       FROM events)
+            SELECT event_id, {zexpr3} AS zkey3 FROM events, s""",
         "audio_spectral": """
             WITH p AS (
               SELECT doc_id,

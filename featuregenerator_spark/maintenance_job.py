@@ -75,12 +75,10 @@ def _run_op(spark, op: dict, src: str, dst: str) -> None:
     elif kind == "zorder":
         from featuregenerator_spark.sources.zorder import write_zordered
 
-        a, b = op["cols"]
         write_zordered(
             spark.read.parquet(src),
             dst,
-            a,
-            b,
+            *op["cols"],
             num_files=int(op.get("num_files", 64)),
             bits=int(op.get("bits", 16)),
         )

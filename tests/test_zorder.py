@@ -88,3 +88,44 @@ def test_zorder_key_spark_duckdb_parity_cross_sf(spark):
     )
     want = dict(con.execute(m.oracle_sql()["zorder_key"]).fetchall())
     assert got == want
+
+
+def test_zorder3_files_cover_small_boxes(spark, tmp_path):
+    """3-key Morton: each written file must span a small min/max BOX on
+    all THREE interleaved columns — the (user, item, ts) point-lookup
+    layout. Pinned: per-column mean normalized span <= 0.7 and the three
+    means sum below 1.8 (a 1D sort gets ~2.0+: one tight axis, two ~1.0
+    axes)."""
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).withColumn("ts_sec", F.col("ts").cast("timestamp").cast("double"))
+    path = str(tmp_path / "z3")
+    write_zordered(
+        ev, path, "user_id", "ts_sec", "value", num_files=16, bits=8
+    )
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    fracs = []
+    for col in ("user_id", "ts_sec", "value"):
+        g = ev.agg(F.max(col) - F.min(col)).collect()[0][0]
+        spans = _file_spans(path, col)
+        fracs.append(sum(spans) / len(spans) / g)
+    assert all(f <= 0.7 for f in fracs), fracs
+    assert sum(fracs) < 1.8, fracs
+
+
+def test_zorder_budget_and_arity_guards(spark):
+    import pytest
+
+    from featuregenerator_spark.sources.zorder import zorder_key_columns
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key_columns(
+            [F.col("a"), F.col("b"), F.col("c"), F.col("d")],
+            [(0.0, 1.0)] * 4,
+            bits=16,
+        )
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key_columns([F.col("a")], [(0.0, 1.0)], bits=8)
