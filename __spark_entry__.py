@@ -3157,6 +3157,37 @@ def q_zorder_key(spark, sf_dir):
     return ev.select("event_id", z.alias("zkey"))
 
 
+def q_snapshot_isolation_read(spark, sf_dir):
+    """Snapshot-table commit protocol (sources/snapshots.py — Iceberg's
+    atomic metadata-pointer CAS over parquet): three commits (append
+    even event_ids, append odd, OVERWRITE with purchases only), then
+    TIME-TRAVEL reads of v2 (the full append union) and v3 (the
+    overwrite). The DuckDB oracle recomputes both versions' content
+    straight from events, so the gate proves commits are atomic
+    set-transitions: v2 == all rows, v3 == exactly the purchase rows,
+    and the overwrite did not damage v2. Concurrency/crash legs
+    (CAS-race rebase, orphan invisibility) are pinned in
+    tests/test_snapshots.py."""
+    import shutil
+
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+    base = _text_source_stage(sf_dir, "snaptable")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    t = SnapshotTable(spark, base)
+    t.commit_append(ev.filter(F.col("event_id") % 2 == 0))
+    t.commit_append(ev.filter(F.col("event_id") % 2 == 1))
+    t.commit_overwrite(ev.filter(F.col("event_type") == "purchase"))
+    v2 = t.read(2).select(
+        F.lit(2).alias("version"), "event_id", "event_type", "value"
+    )
+    v3 = t.read(3).select(
+        F.lit(3).alias("version"), "event_id", "event_type", "value"
+    )
+    return v2.unionByName(v3)
+
+
 def q_zorder_key3(spark, sf_dir):
     """THREE-key Morton layout key over (user_id, epoch(ts), value):
     the reference file-skipping use-case is point lookups on
@@ -3807,7 +3838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: 3-key Morton interleave; displaces
         # multimodal_png_decode (r4-green, png.py unchanged this round)
         "zorder_key3": q_zorder_key3,
-        "c4_line_filter": q_c4_line_filter,
+        # new in r5: snapshot-table commit protocol + time travel;
+        # displaces c4_line_filter (r4-green, text_clean.py unchanged)
+        "snapshot_isolation_read": q_snapshot_isolation_read,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
         "token_count_regex": q_token_count_regex,
@@ -3904,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_decode": q_multimodal_video,
         "multimodal_jpeg_color_decode": q_multimodal_jpeg_color,
         "multimodal_png_decode": q_multimodal_png,
+        "c4_line_filter": q_c4_line_filter,
         "lookup_combo_simple": q_lookup_combo_simple,
         "backfill_purchase_chunked": q_backfill_purchase_chunked,
         "asof_last_purchase_chunked": q_asof_last_purchase_chunked,
@@ -5274,6 +5308,11 @@ def oracle_sql() -> dict[str, str]:
                               max(epoch(ts)) AS tmx
                        FROM events)
             SELECT event_id, {zexpr} AS zkey FROM events, s""",
+        "snapshot_isolation_read": """
+            SELECT 2 AS version, event_id, event_type, value FROM events
+            UNION ALL
+            SELECT 3 AS version, event_id, event_type, value FROM events
+            WHERE event_type = 'purchase'""",
         "zorder_key3": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,
                               max(CAST(user_id AS DOUBLE)) AS umx,

@@ -1,0 +1,112 @@
+"""Snapshot tables (sources/snapshots.py): atomic CAS commits, snapshot
+isolation, time travel, optimistic-concurrency rebase, crash-orphan
+invisibility, and vacuum."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from featuregenerator_spark.sources.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t.current_version() is None
+    v1 = t.commit_append(_df(spark, 0, 5, "a"), summary={"job": "x"})
+    v2 = t.commit_append(_df(spark, 5, 8, "b"))
+    v3 = t.commit_overwrite(_df(spark, 100, 103, "c"))
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert t.versions() == [1, 2, 3]
+    # latest = the overwrite
+    assert _ids(t.read()) == [100, 101, 102]
+    # time travel: every version stays exactly readable
+    assert _ids(t.read(1)) == [0, 1, 2, 3, 4]
+    assert _ids(t.read(2)) == [0, 1, 2, 3, 4, 5, 6, 7]
+    snap = t.snapshot(3)
+    assert snap["operation"] == "overwrite" and snap["parent"] == 2
+    assert t.snapshot(1)["summary"] == {"job": "x"}
+
+
+def test_reader_plan_is_isolated_from_later_commits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 4, "a"))
+    pinned = t.read()  # resolves v1's file set NOW
+    t.commit_overwrite(_df(spark, 50, 52, "b"))
+    # the pre-commit plan still reads v1's files — never torn
+    assert _ids(pinned) == [0, 1, 2, 3]
+    assert _ids(t.read()) == [50, 51]
+
+
+def test_lost_cas_race_rebases_append(spark, tmp_path, monkeypatch):
+    """A writer that loses the version-N rename must re-read the winning
+    manifest and retry at N+1 with its file list REBASED on the winner's
+    (Iceberg's commit loop). Simulated by having a racer publish v2
+    between the loser's version resolution and its CAS."""
+    base = str(tmp_path / "t")
+    t = SnapshotTable(spark, base)
+    t.commit_append(_df(spark, 0, 3, "a"))
+
+    racer = SnapshotTable(spark, base)
+    loser = SnapshotTable(spark, base)
+    real_publish = loser._try_publish
+    state = {"raced": False}
+
+    def racing_publish(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            racer.commit_append(_df(spark, 10, 12, "racer"))
+        return real_publish(manifest)
+
+    monkeypatch.setattr(loser, "_try_publish", racing_publish)
+    v = loser.commit_append(_df(spark, 20, 22, "loser"))
+    assert v == 3  # lost v2 to the racer, landed at v3
+    # v3 contains ALL THREE commits' rows: the rebase kept the racer's
+    assert _ids(t.read(3)) == [0, 1, 2, 10, 11, 20, 21]
+    assert _ids(t.read(2)) == [0, 1, 2, 10, 11]
+
+
+def test_exhausted_retries_raise(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    monkeypatch.setattr(t, "_try_publish", lambda m: False)
+    with pytest.raises(CommitConflict):
+        t.commit_append(_df(spark, 0, 2, "a"), max_retries=3)
+
+
+def test_crashed_writer_is_invisible_and_vacuumable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3, "a"))
+    # simulated crash: data written, manifest never published
+    orphan = t._write_data(_df(spark, 90, 95, "crash"))
+    assert _ids(t.read()) == [0, 1, 2]  # reader never lists the orphan
+    removed = t.vacuum_orphans()
+    assert f"data/{orphan}" in removed
+    # published data untouched, still readable
+    assert _ids(t.read()) == [0, 1, 2]
+    assert t.vacuum_orphans() == []
+
+
+def test_manifests_are_valid_json_and_immutable_set(spark, tmp_path):
+    base = str(tmp_path / "t")
+    t = SnapshotTable(spark, base)
+    t.commit_append(_df(spark, 0, 2, "a"))
+    before = t._read_file(t._meta("v1.json"))
+    t.commit_append(_df(spark, 2, 4, "b"))
+    after = t._read_file(t._meta("v1.json"))
+    assert before == after  # old manifests never rewritten
+    m = json.loads(after)
+    assert m["version"] == 1 and m["operation"] == "append"
