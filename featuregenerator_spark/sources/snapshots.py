@@ -185,6 +185,14 @@ class SnapshotTable:
         paths = [f"{self.base}/data/{f}" for f in snap["files"]]
         return self.spark.read.parquet(*paths)
 
+    # ---- resumable ingestion ----------------------------------------------
+    def committed_partitions(self) -> set[str]:
+        """Partition keys recorded in committed snapshot summaries."""
+        return {
+            self.snapshot(v)["summary"].get("partition_key")
+            for v in self.versions()
+        } - {None}
+
     # ---- maintenance -----------------------------------------------------
     def vacuum_orphans(self) -> list[str]:
         """Delete data dirs referenced by NO published manifest (crashed
@@ -205,3 +213,35 @@ class SnapshotTable:
                 self._fs.delete(st.getPath(), False)
                 removed.append(f"metadata/{name}")
         return removed
+
+
+def run_resumable_snapshots(
+    spark: SparkSession,
+    partition_keys: list[str],
+    make_df,
+    base: str,
+) -> list[int]:
+    """``plans/lineage.run_resumable``'s twin over SnapshotTable: each
+    input partition commits as ONE append snapshot whose summary records
+    the partition key, so a killed run resumes from the last COMMITTED
+    snapshot — already-committed keys are skipped, a partition that died
+    mid-write left only an orphan data dir no reader ever lists (vacuum
+    removes it), and concurrent readers see every intermediate state as
+    a consistent snapshot instead of a half-visible directory tree.
+
+    Returns the versions committed by THIS run. Exactly-once per
+    partition key holds because the skip set is derived from committed
+    manifests only — the same replay contract as the lineage commit log,
+    now with table-level isolation."""
+    table = SnapshotTable(spark, base)
+    done = table.committed_partitions()
+    out: list[int] = []
+    for key in partition_keys:
+        if key in done:
+            continue
+        out.append(
+            table.commit_append(
+                make_df(key), summary={"partition_key": key}
+            )
+        )
+    return out

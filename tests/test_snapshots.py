@@ -110,3 +110,41 @@ def test_manifests_are_valid_json_and_immutable_set(spark, tmp_path):
     assert before == after  # old manifests never rewritten
     m = json.loads(after)
     assert m["version"] == 1 and m["operation"] == "append"
+
+
+def test_kill_and_resume_against_real_snapshots(spark, tmp_path):
+    """The north-rule resumability contract on REAL snapshots: a run
+    killed mid-partition leaves only committed snapshots (plus an
+    invisible orphan if it died between data write and publish); the
+    restart processes exactly the remaining keys, never duplicates a
+    committed one, and the final table reads as the full union."""
+    from featuregenerator_spark.sources.snapshots import (
+        run_resumable_snapshots,
+    )
+
+    base = str(tmp_path / "t")
+    keys = ["d1", "d2", "d3", "d4"]
+    spans = {"d1": (0, 3), "d2": (3, 7), "d3": (7, 8), "d4": (8, 12)}
+    calls = []
+
+    def make_df(key):
+        calls.append(key)
+        if key == "d3" and len([c for c in calls if c == "d3"]) == 1:
+            raise RuntimeError("simulated kill mid-run")
+        lo, hi = spans[key]
+        return _df(spark, lo, hi, key)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_resumable_snapshots(spark, keys, make_df, base)
+    t = SnapshotTable(spark, base)
+    assert t.committed_partitions() == {"d1", "d2"}
+
+    # a writer can ALSO die between data write and manifest publish —
+    # that orphan must stay invisible to the resumed run and its readers
+    t._write_data(_df(spark, 7, 8, "crash"))
+
+    v2 = run_resumable_snapshots(spark, keys, make_df, base)
+    assert len(v2) == 2  # only d3, d4 ran
+    assert calls.count("d1") == 1 and calls.count("d2") == 1
+    assert t.committed_partitions() == set(keys)
+    assert _ids(t.read()) == list(range(12))  # no dup, no loss, no orphan
