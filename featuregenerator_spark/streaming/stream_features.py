@@ -431,3 +431,46 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_to_snapshots(
+    stream_df: DataFrame, base: str, checkpoint: str
+):
+    """Exactly-once streaming sink into a SnapshotTable
+    (sources/snapshots.py): each micro-batch commits as ONE append
+    snapshot whose manifest summary records the Structured Streaming
+    ``batch_id``. Idempotence under replay comes from checking the
+    committed summaries before committing — if a failure lands between
+    the snapshot CAS and the checkpoint advance, the replayed batch
+    finds its batch_id already committed and skips, so the table never
+    double-counts (the standard foreachBatch exactly-once recipe, with
+    the snapshot manifest as the transactional "did batch N commit"
+    record instead of an external store). Readers get snapshot
+    isolation: a micro-batch is fully visible or not at all.
+
+    Returns the started StreamingQuery (caller drives/stops it)."""
+    def commit_batch(batch_df, batch_id: int) -> None:
+        commit_stream_batch(base, batch_df, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def commit_stream_batch(base: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """One micro-batch -> one append snapshot, idempotent on batch_id.
+    Returns True if the batch committed, False if it was a replay of an
+    already-committed batch (skipped)."""
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(batch_df.sparkSession, base)
+    done = {
+        table.snapshot(v)["summary"].get("stream_batch_id")
+        for v in table.versions()
+    }
+    if batch_id in done:
+        return False  # replayed batch: already transactionally committed
+    table.commit_append(batch_df, summary={"stream_batch_id": batch_id})
+    return True

@@ -148,3 +148,66 @@ def test_kill_and_resume_against_real_snapshots(spark, tmp_path):
     assert calls.count("d1") == 1 and calls.count("d2") == 1
     assert t.committed_partitions() == set(keys)
     assert _ids(t.read()) == list(range(12))  # no dup, no loss, no orphan
+
+
+def test_streaming_sink_commits_batches_exactly_once(spark, tmp_path):
+    """foreachBatch -> SnapshotTable: every micro-batch is one append
+    snapshot keyed by batch_id; a REPLAYED batch (failure between the
+    snapshot CAS and the checkpoint advance) is skipped, so the table
+    never double-counts; a restart with new data appends only new
+    batches."""
+    from featuregenerator_spark.streaming.stream_features import (
+        stream_to_snapshots,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, 0, 5, "a").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f1")
+    )
+
+    stream = spark.readStream.schema("id long, tag string").parquet(
+        str(src / "*")
+    )
+    q = stream_to_snapshots(stream, base, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    t = SnapshotTable(spark, base)
+    assert _ids(t.read()) == [0, 1, 2, 3, 4]
+    v_after_first = t.current_version()
+
+    # simulate the replay a crash between commit and checkpoint causes:
+    # re-invoking the batch commit with an already-committed batch_id
+    # must be a no-op (and report the skip)
+    from featuregenerator_spark.streaming.stream_features import (
+        commit_stream_batch,
+    )
+
+    replay_id = next(
+        d
+        for v in t.versions()
+        if (d := t.snapshot(v)["summary"].get("stream_batch_id")) is not None
+    )
+    before = t.versions()
+    assert (
+        commit_stream_batch(base, _df(spark, 0, 5, "a"), replay_id) is False
+    )
+    assert t.versions() == before
+    assert _ids(t.read()) == [0, 1, 2, 3, 4]
+
+    # restart with NEW data: only the new batch commits
+    _df(spark, 5, 8, "b").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f2")
+    )
+    q2 = stream_to_snapshots(
+        spark.readStream.schema("id long, tag string").parquet(str(src / "*")),
+        base,
+        ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert _ids(t.read()) == list(range(8))
+    assert t.current_version() > v_after_first
