@@ -3188,6 +3188,77 @@ def q_snapshot_isolation_read(spark, sf_dir):
     return v2.unionByName(v3)
 
 
+def _snapshot_thirds(spark, sf_dir, tag):
+    """Stage events into a SnapshotTable as three appends with DISJOINT
+    event_id ranges (thirds of max), stats on event_id — so manifest
+    stats can PROVE file-level pruning. Returns (table, t1, t2)."""
+    import shutil
+
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+    base = _text_source_stage(sf_dir, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    t1, t2 = mx // 3, 2 * (mx // 3)
+    t = SnapshotTable(spark, base, stats_cols=["event_id"])
+    t.commit_append(ev.filter(F.col("event_id") <= t1))
+    t.commit_append(
+        ev.filter((F.col("event_id") > t1) & (F.col("event_id") <= t2))
+    )
+    t.commit_append(ev.filter(F.col("event_id") > t2))
+    return t, t1, t2
+
+
+def q_snapshot_pruned_read(spark, sf_dir):
+    """Manifest-stats FILE SKIPPING (sources/snapshots.py — Iceberg's
+    lower/upper_bounds pruning): events staged as three appends with
+    disjoint event_id thirds, then a range read that stats alone can
+    narrow to ONE file. The query HARD-FAILS unless the planner
+    actually pruned the other two files (so the driver row certifies
+    the skipping mechanism, not just row fidelity); the DuckDB oracle
+    applies the same range straight to events, proving the pruned read
+    is exact. Residual-filter exactness and never-prune-without-stats
+    are pinned in tests/test_snapshots.py."""
+    t, t1, t2 = _snapshot_thirds(spark, sf_dir, "snapprune")
+    where = [("event_id", "between", t1 + 1, t2)]
+    kept, pruned = t.plan_scan(where)
+    if len(kept) != 1 or len(pruned) != 2:
+        raise RuntimeError(
+            f"file skipping failed: kept {len(kept)}, pruned {len(pruned)}"
+        )
+    return t.read(where=where).select("event_id", "event_type", "value")
+
+
+def q_snapshot_cow_upsert_delete(spark, sf_dir):
+    """Copy-on-write MERGE + DELETE on a snapshot table: upsert doubled
+    purchase rows (same event_id, event_type 'purchase_v2') plus
+    shifted 'inserted' view rows, then DELETE the low-id sixth — each a
+    single atomic commit that rewrites ONLY the affected files
+    (stats-pruned + input_file_name-located) and carries the rest by
+    reference. The DuckDB oracle recomputes MERGE-then-DELETE
+    relationally from events, so the gate proves full row-level
+    semantics: replaced keys, inserted keys, survivors, and deletion.
+    File-minimality, OCC rebase/conflict, and retention legs are pinned
+    in tests/test_snapshots.py."""
+    t, t1, t2 = _snapshot_thirds(spark, sf_dir, "snapcow")
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.lit("purchase_v2").alias("event_type"),
+        (F.col("value") * 2).alias("value"),
+    ).unionByName(
+        ev.filter(F.col("event_type") == "view").select(
+            (F.col("event_id") + 10000000).alias("event_id"),
+            F.lit("inserted").alias("event_type"),
+            "value",
+        )
+    )
+    t.commit_merge(src, on=["event_id"])
+    t.commit_delete_where([("event_id", "<=", t1 // 2)])
+    return t.read().select("event_id", "event_type", "value")
+
+
 def q_zorder_key3(spark, sf_dir):
     """THREE-key Morton layout key over (user_id, epoch(ts), value):
     the reference file-skipping use-case is point lookups on
@@ -3813,7 +3884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_neardup re-enters (hot-bucket cap lands in r5);
         # displaces streaming_decayed_parity (r4-green, unchanged)
         "simhash_neardup": q_simhash_neardup,
-        "chunk_pack_documents": q_chunk_pack_documents,
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_cc_lsh": q_dedup_cc_lsh,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -3824,7 +3894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_snapshot_auto": q_asof_snapshot_auto,
         "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
-        "lang_id_trigram": q_lang_id_trigram,
         "config_compiled_temporal": q_config_compiled_temporal,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
@@ -3841,6 +3910,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: snapshot-table commit protocol + time travel;
         # displaces c4_line_filter (r4-green, text_clean.py unchanged)
         "snapshot_isolation_read": q_snapshot_isolation_read,
+        # new in r5: manifest-stats file skipping (hard-fails unless the
+        # plan actually pruned); displaces chunk_pack_documents
+        # (r4-green, chunk_pack.py unchanged this round)
+        "snapshot_pruned_read": q_snapshot_pruned_read,
+        # new in r5: copy-on-write MERGE + DELETE commits; displaces
+        # lang_id_trigram (r4-green, text_analysis.py unchanged)
+        "snapshot_cow_upsert_delete": q_snapshot_cow_upsert_delete,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
         "token_count_regex": q_token_count_regex,
@@ -3851,6 +3927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_cosine": q_dedup_cc_cosine,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
+        "chunk_pack_documents": q_chunk_pack_documents,
+        "lang_id_trigram": q_lang_id_trigram,
         "quality_lm_perplexity": q_quality_lm_perplexity,
         "paragraph_dedup": q_paragraph_dedup,
         "rolling_count_bucketed": q_rolling_count_bucketed,
@@ -5313,6 +5391,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3 AS version, event_id, event_type, value FROM events
             WHERE event_type = 'purchase'""",
+        # same thirds thresholds (t1 = mx//3, t2 = 2*(mx//3)) the Spark
+        # side stages with; the pruned snapshot read must equal the
+        # plain range filter over events
+        "snapshot_pruned_read": """
+            WITH m AS (SELECT max(event_id) AS mx FROM events)
+            SELECT event_id, event_type, value FROM events, m
+            WHERE event_id BETWEEN (m.mx // 3) + 1 AND 2 * (m.mx // 3)""",
+        # MERGE (purchases doubled under key event_id + shifted 'inserted'
+        # views) then DELETE event_id <= t1//2, recomputed relationally
+        "snapshot_cow_upsert_delete": """
+            WITH m AS (SELECT max(event_id) AS mx FROM events),
+            src AS (
+              SELECT event_id, 'purchase_v2' AS event_type,
+                     value * 2 AS value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT event_id + 10000000, 'inserted', value
+              FROM events WHERE event_type = 'view'),
+            merged AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE event_id NOT IN (SELECT event_id FROM src)
+              UNION ALL
+              SELECT event_id, event_type, value FROM src)
+            SELECT event_id, event_type, value FROM merged, m
+            WHERE NOT (event_id <= (m.mx // 3) // 2)""",
         "zorder_key3": f"""
             WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS umn,
                               max(CAST(user_id AS DOUBLE)) AS umx,

@@ -22,9 +22,24 @@ directly on the Hadoop FileSystem API. It gives the properties the
   orphan data dirs that no reader ever lists (and
   ``vacuum_orphans`` removes).
 
+Beyond commits, the manifest carries **per-data-file column stats**
+(min/max/rowcount, Iceberg's manifest-entry ``lower_bounds`` /
+``upper_bounds``): a predicate scan resolves the manifest, drops every
+file whose value range cannot satisfy the predicate, and plans a read
+over only the surviving files — file skipping WITHOUT opening a single
+parquet footer, the mechanism that turns a 100-TB table scan into a
+bounded range read. The same stats drive **copy-on-write row-level
+operations**: ``commit_delete_where`` and ``commit_merge`` rewrite ONLY
+the data files that actually contain affected rows (stats-pruned, then
+exactly located via an ``input_file_name`` semi-join), keep every other
+file by reference, and publish the swap atomically with optimistic
+validation (a concurrent commit that rewrote one of the same files
+raises ``CommitConflict``; a concurrent disjoint append is rebased).
+
 What this is NOT (documented non-goals, kept out of scope on purpose):
 the Iceberg *spec* — Avro manifest lists, partition spec / schema
-evolution metadata, a REST/Hive catalog, row-level deletes. On a
+evolution metadata, a REST/Hive catalog, merge-on-read delete files
+(deletes here are copy-on-write). On a
 cluster with real Iceberg jars the call sites swap to the Iceberg
 catalog unchanged; this module exists so the engine's snapshot/commit
 semantics are REAL and testable in any plain-filesystem environment,
@@ -46,6 +61,74 @@ class CommitConflict(RuntimeError):
     """Raised when max_retries CAS attempts all lost the race."""
 
 
+_OPS = ("=", "<", "<=", ">", ">=", "between")
+
+
+def _predicate_column(where: list[tuple]):
+    """AND of ``(col, op, val)`` / ``(col, 'between', lo, hi)`` specs as
+    a Spark Column (the residual row filter applied after file
+    skipping)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for spec in where:
+        col, op, *vals = spec
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        c = F.col(col)
+        if op == "between":
+            e = c.between(vals[0], vals[1])
+        elif op == "=":
+            e = c == vals[0]
+        elif op == "<":
+            e = c < vals[0]
+        elif op == "<=":
+            e = c <= vals[0]
+        elif op == ">":
+            e = c > vals[0]
+        else:
+            e = c >= vals[0]
+        out = e if out is None else out & e
+    return out
+
+
+def _stat_val(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # manifest stats store timestamps as epoch-second doubles
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    return v
+
+
+def _stats_prove_empty(col_stats: dict, where: list[tuple]) -> bool:
+    """True iff the file's [min, max] ranges PROVE no row can satisfy
+    the AND of ``where`` — the file-skipping test. Conservative: a
+    missing column, a null bound (all-null file), or any doubt keeps
+    the file (the residual filter guarantees exactness)."""
+    for spec in where:
+        col, op, *vals = spec
+        if col not in col_stats:
+            continue
+        mn, mx = col_stats[col]
+        if mn is None or mx is None:
+            continue
+        vals = [_stat_val(v) for v in vals]
+        v = vals[0]
+        if (
+            (op == "=" and (v < mn or v > mx))
+            or (op == "<" and mn >= v)
+            or (op == "<=" and mn > v)
+            or (op == ">" and mx <= v)
+            or (op == ">=" and mx < v)
+            or (op == "between" and (vals[1] < mn or v > mx))
+        ):
+            return True
+    return False
+
+
 class SnapshotTable:
     """A versioned parquet table with atomic snapshot commits.
 
@@ -57,13 +140,26 @@ class SnapshotTable:
           metadata/tmp-*.json          in-flight commit attempts
 
     Manifest schema: ``{"version": N, "parent": N-1 | None,
-    "operation": "append" | "overwrite", "files": [data dir names],
-    "summary": {...}, "committed_at": epoch}``.
+    "operation": "append" | "overwrite" | "delete" | "merge",
+    "files": [data dir names], "stats": {dir: {"rows": n,
+    "cols": {col: [min, max]}}}, "summary": {...},
+    "committed_at": epoch}``.
+
+    ``stats_cols`` opts commits into recording per-data-dir min/max for
+    those columns (timestamps are recorded as epoch-second doubles).
+    The stats pass is ONE tiny agg over the just-written dir —
+    proportional to the append, never to the table.
     """
 
-    def __init__(self, spark: SparkSession, base: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        stats_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.base = base.rstrip("/")
+        self.stats_cols = list(stats_cols or [])
         jvm = spark.sparkContext._jvm
         self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
@@ -122,6 +218,29 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(f"{self.base}/data/{name}")
         return name
 
+    def _collect_stats(self, data_name: str) -> dict:
+        """min/max/rowcount for ``stats_cols`` over ONE just-written data
+        dir (Iceberg's lower_bounds/upper_bounds manifest entry). One agg
+        job over the new files only; timestamp columns are stored as
+        epoch-second doubles so the manifest stays JSON and comparisons
+        stay total-ordered."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(f"{self.base}/data/{data_name}")
+        present = [c for c in self.stats_cols if c in df.columns]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in present:
+            col = F.col(c)
+            if dict(df.dtypes)[c].startswith("timestamp"):
+                col = col.cast("double")
+            aggs.append(F.min(col).alias(f"__mn_{c}"))
+            aggs.append(F.max(col).alias(f"__mx_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        return {
+            "rows": row["__rows"],
+            "cols": {c: [row[f"__mn_{c}"], row[f"__mx_{c}"]] for c in present},
+        }
+
     def _try_publish(self, manifest: dict) -> bool:
         """CAS: rename(tmp, vN.json) — atomic, fails if vN exists."""
         tmp = self._meta(f"tmp-{uuid.uuid4().hex}.json")
@@ -141,10 +260,18 @@ class SnapshotTable:
         max_retries: int,
     ) -> int:
         data_name = self._write_data(df)  # expensive part, done ONCE
+        new_stats = (
+            {data_name: self._collect_stats(data_name)}
+            if self.stats_cols
+            else {}
+        )
         for _ in range(max_retries):
             cur = self.current_version()
+            stats = dict(new_stats)
             if operation == "append" and cur is not None:
-                files = self.snapshot(cur)["files"] + [data_name]
+                snap = self.snapshot(cur)
+                files = snap["files"] + [data_name]
+                stats = {**snap.get("stats", {}), **new_stats}
             else:
                 files = [data_name]
             manifest = {
@@ -152,6 +279,7 @@ class SnapshotTable:
                 "parent": cur,
                 "operation": operation,
                 "files": files,
+                "stats": stats,
                 "summary": summary or {},
                 "committed_at": time.time(),
             }
@@ -178,12 +306,210 @@ class SnapshotTable:
         return self._commit(df, "overwrite", summary, max_retries)
 
     # ---- reads -----------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read one snapshot (latest by default) — exactly its file set,
-        resolved once; later commits cannot tear this plan."""
+        resolved once; later commits cannot tear this plan.
+
+        ``where`` is an AND-list of ``(col, op, val)`` / ``(col,
+        "between", lo, hi)`` predicates (ops ``= < <= > >=``): files
+        whose manifest stats range cannot satisfy a predicate are
+        DROPPED FROM THE PLAN (manifest-level file skipping — no footer
+        is opened); the residual row filter is then applied to the
+        survivors, so results are exact at any stats granularity."""
+        kept, _ = self.plan_scan(where, version)
+        if not kept:
+            # every file pruned: an empty frame with the table schema
+            snap = self.snapshot(version)
+            df = self.spark.read.parquet(
+                *[f"{self.base}/data/{f}" for f in snap["files"]]
+            )
+            return df.limit(0)
+        df = self.spark.read.parquet(
+            *[f"{self.base}/data/{f}" for f in kept]
+        )
+        if where:
+            df = df.filter(_predicate_column(where))
+        return df
+
+    def plan_scan(
+        self,
+        where: list[tuple] | None = None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Resolve one snapshot's file set against ``where`` using ONLY
+        manifest stats. Returns ``(kept, pruned)`` data-dir names; files
+        with no recorded stats for a predicate column are always kept
+        (pruning is an optimization, never a correctness dependency)."""
         snap = self.snapshot(version)
-        paths = [f"{self.base}/data/{f}" for f in snap["files"]]
-        return self.spark.read.parquet(*paths)
+        stats = snap.get("stats", {})
+        kept: list[str] = []
+        pruned: list[str] = []
+        for f in snap["files"]:
+            st = stats.get(f)
+            if where and st and _stats_prove_empty(st["cols"], where):
+                pruned.append(f)
+            else:
+                kept.append(f)
+        return kept, pruned
+
+    # ---- copy-on-write row-level operations --------------------------------
+    def _read_dirs_tagged(self, names: list[str]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(
+            *[f"{self.base}/data/{n}" for n in names]
+        )
+        return df.withColumn(
+            "_dir",
+            F.regexp_extract(F.input_file_name(), "data/([0-9a-f]{32})/", 1),
+        )
+
+    def _publish_rewrite(
+        self,
+        base_version: int,
+        removed: set[str],
+        added: list[str],
+        added_stats: dict,
+        operation: str,
+        summary: dict | None,
+        max_retries: int,
+    ) -> int:
+        """CAS loop for a row-level rewrite: swap ``removed`` for
+        ``added`` atop whatever the CURRENT snapshot is, with Iceberg's
+        optimistic validation — if a concurrent commit already removed
+        (rewrote/overwrote) one of the files this operation read and
+        rewrote, the swap would silently undo that commit's row changes,
+        so it raises ``CommitConflict``; concurrent commits touching
+        DISJOINT files (appends, other rewrites) are rebased over."""
+        for _ in range(max_retries):
+            cur = self.current_version()
+            snap = self.snapshot(cur)
+            cur_files = set(snap["files"])
+            if cur != base_version and not removed <= cur_files:
+                raise CommitConflict(
+                    f"{operation} read files rewritten by a concurrent "
+                    f"commit: {sorted(removed - cur_files)}"
+                )
+            files = [f for f in snap["files"] if f not in removed] + added
+            stats = {
+                f: s
+                for f, s in snap.get("stats", {}).items()
+                if f not in removed
+            }
+            stats.update(added_stats)
+            manifest = {
+                "version": cur + 1,
+                "parent": cur,
+                "operation": operation,
+                "files": files,
+                "stats": stats,
+                "summary": summary or {},
+                "committed_at": time.time(),
+            }
+            if self._try_publish(manifest):
+                return manifest["version"]
+        raise CommitConflict(
+            f"{operation} to {self.base} lost {max_retries} CAS races"
+        )
+
+    def commit_delete_where(
+        self,
+        where: list[tuple],
+        summary: dict | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Copy-on-write DELETE: remove every row matching the AND of
+        ``where`` (same predicate spec as ``read``). Work is
+        proportional to the AFFECTED files, never the table: manifest
+        stats prune to candidate files, an ``input_file_name`` distinct
+        locates the files that actually hold matching rows, only those
+        are rewritten (matching rows dropped — rows where the predicate
+        is NULL survive, SQL DELETE semantics), and the swap publishes
+        atomically. Returns the committed version (current version
+        unchanged if nothing matched)."""
+        from pyspark.sql import functions as F
+
+        base_v = self.current_version()
+        if base_v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.base}")
+        candidates, _ = self.plan_scan(where, base_v)
+        if not candidates:
+            return base_v
+        pred = _predicate_column(where)
+        tagged = self._read_dirs_tagged(candidates)
+        affected = {
+            r["_dir"]
+            for r in tagged.filter(pred).select("_dir").distinct().collect()
+        }
+        if not affected:
+            return base_v
+        survivors = (
+            self._read_dirs_tagged(sorted(affected))
+            .filter(~F.coalesce(pred, F.lit(False)))
+            .drop("_dir")
+        )
+        added, added_stats = [], {}
+        if survivors.limit(1).count() > 0:
+            name = self._write_data(survivors)
+            added = [name]
+            if self.stats_cols:
+                added_stats = {name: self._collect_stats(name)}
+        return self._publish_rewrite(
+            base_v, affected, added, added_stats, "delete",
+            summary, max_retries,
+        )
+
+    def commit_merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        summary: dict | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Copy-on-write MERGE (upsert): target rows whose ``on`` key
+        matches a source row are REPLACED by the source row; source rows
+        with no target match are INSERTED. Source keys must be unique
+        (one source row per key — the standard MERGE precondition).
+
+        Scale shape: affected-file discovery is a semi-join of the
+        target against the (typically small, broadcastable) source key
+        set, grouped by ``input_file_name`` — so only files that
+        actually contain matched keys are rewritten; the rest of the
+        table is carried by reference in the new manifest."""
+        base_v = self.current_version()
+        if base_v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.base}")
+        snap = self.snapshot(base_v)
+        keys = source.select(*on).distinct()
+        tagged = self._read_dirs_tagged(snap["files"])
+        affected = {
+            r["_dir"]
+            for r in tagged.join(keys, on, "left_semi")
+            .select("_dir")
+            .distinct()
+            .collect()
+        }
+        if affected:
+            survivors = (
+                self._read_dirs_tagged(sorted(affected))
+                .join(keys, on, "left_anti")
+                .drop("_dir")
+            )
+            new_data = survivors.unionByName(source)
+        else:
+            new_data = source
+        name = self._write_data(new_data)
+        added_stats = (
+            {name: self._collect_stats(name)} if self.stats_cols else {}
+        )
+        return self._publish_rewrite(
+            base_v, affected, [name], added_stats, "merge",
+            summary, max_retries,
+        )
 
     # ---- resumable ingestion ----------------------------------------------
     def committed_partitions(self) -> set[str]:
@@ -194,6 +520,20 @@ class SnapshotTable:
         } - {None}
 
     # ---- maintenance -----------------------------------------------------
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` version
+        manifests (Iceberg's expire_snapshots). Data dirs referenced
+        only by expired versions become orphans that the next
+        ``vacuum_orphans`` reclaims; versions within retention stay
+        fully time-travelable. Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            self._fs.delete(self._Path(self._meta(f"v{v}.json")), False)
+        return expired
+
     def vacuum_orphans(self) -> list[str]:
         """Delete data dirs referenced by NO published manifest (crashed
         writers, lost CAS attempts) and stale tmp manifests. Never

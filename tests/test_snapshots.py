@@ -211,3 +211,190 @@ def test_streaming_sink_commits_batches_exactly_once(spark, tmp_path):
     q2.stop()
     assert _ids(t.read()) == list(range(8))
     assert t.current_version() > v_after_first
+
+
+# ---- manifest column stats + file skipping ------------------------------
+
+
+def _stats_table(spark, base):
+    """Three appends with DISJOINT id ranges so file skipping is
+    provable from manifest stats alone."""
+    t = SnapshotTable(spark, base, stats_cols=["id"])
+    t.commit_append(_df(spark, 0, 5, "a"))
+    t.commit_append(_df(spark, 5, 10, "b"))
+    t.commit_append(_df(spark, 10, 15, "c"))
+    return t
+
+
+def test_manifest_records_per_file_stats(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    snap = t.snapshot()
+    assert len(snap["files"]) == 3
+    ranges = sorted(
+        tuple(snap["stats"][f]["cols"]["id"]) for f in snap["files"]
+    )
+    assert ranges == [(0, 4), (5, 9), (10, 14)]
+    assert all(snap["stats"][f]["rows"] == 5 for f in snap["files"])
+
+
+def test_file_skipping_prunes_plan_and_read_is_exact(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    # between 6 and 8 can only live in the middle file
+    kept, pruned = t.plan_scan([("id", "between", 6, 8)])
+    assert len(kept) == 1 and len(pruned) == 2
+    assert _ids(t.read(where=[("id", "between", 6, 8)])) == [6, 7, 8]
+    # >= 12: only the last file survives the plan
+    kept, pruned = t.plan_scan([("id", ">=", 12)])
+    assert len(kept) == 1 and len(pruned) == 2
+    assert _ids(t.read(where=[("id", ">=", 12)])) == [12, 13, 14]
+    # conjunction: each predicate prunes independently
+    kept, pruned = t.plan_scan([("id", ">=", 5), ("id", "<", 10)])
+    assert len(kept) == 1 and len(pruned) == 2
+    # fully-pruned plan: empty result, schema intact
+    empty = t.read(where=[("id", ">", 1000)])
+    assert empty.count() == 0 and empty.columns == ["id", "tag"]
+
+
+def test_missing_stats_never_prune(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))  # no stats_cols
+    t.commit_append(_df(spark, 0, 5, "a"))
+    t.commit_append(_df(spark, 5, 10, "b"))
+    kept, pruned = t.plan_scan([("id", ">=", 7)])
+    assert len(kept) == 2 and pruned == []
+    # residual filter still makes the read exact
+    assert _ids(t.read(where=[("id", ">=", 7)])) == [7, 8, 9]
+
+
+# ---- copy-on-write DELETE / MERGE ---------------------------------------
+
+
+def test_cow_delete_rewrites_only_affected_files(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    before = t.snapshot()
+    v = t.commit_delete_where([("id", "between", 6, 8)])
+    assert v == 4
+    after = t.snapshot()
+    untouched = set(before["files"]) & set(after["files"])
+    # the two unaffected files are carried BY REFERENCE (same names)
+    assert len(untouched) == 2
+    assert after["operation"] == "delete"
+    assert _ids(t.read()) == [0, 1, 2, 3, 4, 5, 9, 10, 11, 12, 13, 14]
+    # time travel: the pre-delete version is untouched
+    assert _ids(t.read(3)) == list(range(15))
+    # carried files keep their stats; the rewritten file has fresh ones
+    new_file = (set(after["files"]) - untouched).pop()
+    assert tuple(after["stats"][new_file]["cols"]["id"]) == (5, 9)
+
+
+def test_cow_delete_noop_when_nothing_matches(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    assert t.commit_delete_where([("id", ">", 1000)]) == 3
+    assert t.current_version() == 3
+
+
+def test_cow_delete_null_predicate_rows_survive(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 9.0)], "id long, v double"
+    )
+    t.commit_append(df)
+    t.commit_delete_where([("v", ">", 5.0)])
+    # SQL DELETE: the NULL-predicate row is NOT deleted
+    assert _ids(t.read()) == [0, 1]
+
+
+def test_cow_merge_upserts_and_inserts(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(6, "upd"), (7, "upd"), (100, "new")], "id long, tag string"
+    )
+    v = t.commit_merge(src, on=["id"])
+    assert v == 4
+    rows = {r["id"]: r["tag"] for r in t.read().collect()}
+    assert rows[6] == "upd" and rows[7] == "upd" and rows[100] == "new"
+    assert rows[5] == "b" and rows[0] == "a" and len(rows) == 16
+    after = t.snapshot()
+    # only the middle file (ids 5-9) was rewritten; two carried by name
+    untouched = set(t.snapshot(3)["files"]) & set(after["files"])
+    assert len(untouched) == 2 and after["operation"] == "merge"
+
+
+def test_cow_merge_insert_only_when_no_keys_match(spark, tmp_path):
+    t = _stats_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([(500, "new")], "id long, tag string")
+    t.commit_merge(src, on=["id"])
+    after = t.snapshot()
+    # pure insert: ALL prior files carried by reference
+    assert set(t.snapshot(3)["files"]) <= set(after["files"])
+    assert _ids(t.read()) == list(range(15)) + [500]
+
+
+def test_cow_rewrite_rebases_over_disjoint_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent APPEND between the delete's read and its publish
+    touches no file the delete rewrote — the delete must rebase and
+    keep the appended rows (Iceberg's validation passes)."""
+    base = str(tmp_path / "t")
+    t = _stats_table(spark, base)
+    racer = SnapshotTable(spark, base)
+    real_publish = t._try_publish
+    state = {"raced": False}
+
+    def racing_publish(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            racer.commit_append(_df(spark, 200, 202, "racer"))
+        return real_publish(manifest)
+
+    monkeypatch.setattr(t, "_try_publish", racing_publish)
+    v = t.commit_delete_where([("id", "between", 6, 8)])
+    assert v == 5  # racer took v4
+    assert _ids(t.read()) == (
+        [0, 1, 2, 3, 4, 5, 9, 10, 11, 12, 13, 14, 200, 201]
+    )
+
+
+def test_cow_rewrite_conflicts_with_overlapping_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent OVERWRITE removed the files this delete rewrote;
+    blindly publishing would resurrect replaced data — must raise."""
+    base = str(tmp_path / "t")
+    t = _stats_table(spark, base)
+    racer = SnapshotTable(spark, base)
+    real_publish = t._try_publish
+    state = {"raced": False}
+
+    def racing_publish(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            racer.commit_overwrite(_df(spark, 300, 303, "racer"))
+        return real_publish(manifest)
+
+    monkeypatch.setattr(t, "_try_publish", racing_publish)
+    with pytest.raises(CommitConflict, match="rewritten by a concurrent"):
+        t.commit_delete_where([("id", "between", 6, 8)])
+    # the racer's overwrite is intact
+    assert _ids(t.read()) == [300, 301, 302]
+
+
+# ---- retention ------------------------------------------------------------
+
+
+def test_expire_snapshots_then_vacuum_reclaims_dead_files(spark, tmp_path):
+    base = str(tmp_path / "t")
+    t = SnapshotTable(spark, base)
+    t.commit_append(_df(spark, 0, 3, "a"))
+    t.commit_overwrite(_df(spark, 10, 13, "b"))  # v1's file now dead at v2+
+    t.commit_append(_df(spark, 20, 22, "c"))
+    v1_files = set(t.snapshot(1)["files"])
+    assert t.expire_snapshots(keep_last=2) == [1]
+    assert t.versions() == [2, 3]
+    removed = t.vacuum_orphans()
+    assert {f"data/{f}" for f in v1_files} <= set(removed)
+    # retained versions still read exactly
+    assert _ids(t.read(2)) == [10, 11, 12]
+    assert _ids(t.read(3)) == [10, 11, 12, 20, 21]
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
