@@ -280,6 +280,7 @@ class SnapshotTable:
                 "operation": operation,
                 "files": files,
                 "stats": stats,
+                "schema": json.loads(df.schema.json()),
                 "summary": summary or {},
                 "committed_at": time.time(),
             }
@@ -320,20 +321,36 @@ class SnapshotTable:
         DROPPED FROM THE PLAN (manifest-level file skipping — no footer
         is opened); the residual row filter is then applied to the
         survivors, so results are exact at any stats granularity."""
+        snap = self.snapshot(version)
         kept, _ = self.plan_scan(where, version)
+        schema = self._declared_schema(snap)
         if not kept:
             # every file pruned: an empty frame with the table schema
-            snap = self.snapshot(version)
-            df = self.spark.read.parquet(
-                *[f"{self.base}/data/{f}" for f in snap["files"]]
-            )
+            df = self._read_paths(snap["files"], schema)
             return df.limit(0)
-        df = self.spark.read.parquet(
-            *[f"{self.base}/data/{f}" for f in kept]
-        )
+        df = self._read_paths(kept, schema)
         if where:
             df = df.filter(_predicate_column(where))
         return df
+
+    def _declared_schema(self, snap: dict):
+        """The snapshot's SCHEMA OF RECORD (the committing frame's
+        schema, stored in the manifest — Iceberg tracks schema in
+        metadata, never by unioning footers). Reads project every data
+        file to it: files written before an additive column get NULL
+        for it; a column dropped by a later commit disappears. None for
+        pre-schema manifests (falls back to footer inference)."""
+        if "schema" not in snap:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(snap["schema"])
+
+    def _read_paths(self, names: list[str], schema=None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{self.base}/data/{n}" for n in names])
 
     def plan_scan(
         self,
@@ -357,12 +374,13 @@ class SnapshotTable:
         return kept, pruned
 
     # ---- copy-on-write row-level operations --------------------------------
-    def _read_dirs_tagged(self, names: list[str]) -> DataFrame:
+    def _read_dirs_tagged(self, names: list[str], schema=None) -> DataFrame:
+        # schema = the snapshot's declared schema: a COW rewrite over a
+        # mixed-schema file set must project to it, or footer inference
+        # could silently drop an evolved column from the rewritten file
         from pyspark.sql import functions as F
 
-        df = self.spark.read.parquet(
-            *[f"{self.base}/data/{n}" for n in names]
-        )
+        df = self._read_paths(names, schema)
         return df.withColumn(
             "_dir",
             F.regexp_extract(F.input_file_name(), "data/([0-9a-f]{32})/", 1),
@@ -436,11 +454,12 @@ class SnapshotTable:
         base_v = self.current_version()
         if base_v is None:
             raise FileNotFoundError(f"no committed snapshot under {self.base}")
+        schema = self._declared_schema(self.snapshot(base_v))
         candidates, _ = self.plan_scan(where, base_v)
         if not candidates:
             return base_v
         pred = _predicate_column(where)
-        tagged = self._read_dirs_tagged(candidates)
+        tagged = self._read_dirs_tagged(candidates, schema)
         affected = {
             r["_dir"]
             for r in tagged.filter(pred).select("_dir").distinct().collect()
@@ -448,7 +467,7 @@ class SnapshotTable:
         if not affected:
             return base_v
         survivors = (
-            self._read_dirs_tagged(sorted(affected))
+            self._read_dirs_tagged(sorted(affected), schema)
             .filter(~F.coalesce(pred, F.lit(False)))
             .drop("_dir")
         )
@@ -484,8 +503,9 @@ class SnapshotTable:
         if base_v is None:
             raise FileNotFoundError(f"no committed snapshot under {self.base}")
         snap = self.snapshot(base_v)
+        schema = self._declared_schema(snap)
         keys = source.select(*on).distinct()
-        tagged = self._read_dirs_tagged(snap["files"])
+        tagged = self._read_dirs_tagged(snap["files"], schema)
         affected = {
             r["_dir"]
             for r in tagged.join(keys, on, "left_semi")
@@ -495,7 +515,7 @@ class SnapshotTable:
         }
         if affected:
             survivors = (
-                self._read_dirs_tagged(sorted(affected))
+                self._read_dirs_tagged(sorted(affected), schema)
                 .join(keys, on, "left_anti")
                 .drop("_dir")
             )

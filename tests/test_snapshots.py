@@ -398,3 +398,41 @@ def test_expire_snapshots_then_vacuum_reclaims_dead_files(spark, tmp_path):
     assert _ids(t.read(3)) == [10, 11, 12, 20, 21]
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+# ---- manifest-tracked schema evolution -------------------------------------
+
+
+def test_schema_of_record_additive_evolution(spark, tmp_path):
+    """The committing frame's schema is the snapshot's schema of record
+    (tracked in the manifest, Iceberg-style — never a footer union):
+    after an append adds a column, the latest read projects OLD files to
+    the new schema (NULL for the new column), while time travel to the
+    pre-evolution version still reads the old schema exactly."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3, "a"))
+    evolved = _df(spark, 3, 5, "b").withColumn("score", F.col("id") * 10.0)
+    t.commit_append(evolved)
+    latest = t.read()
+    assert latest.columns == ["id", "tag", "score"]
+    rows = {r["id"]: r["score"] for r in latest.collect()}
+    assert rows[0] is None and rows[3] == 30.0 and rows[4] == 40.0
+    # pre-evolution version: old schema, no phantom column
+    assert t.read(1).columns == ["id", "tag"]
+
+
+def test_cow_rewrite_preserves_evolved_schema(spark, tmp_path):
+    """A COW delete over a MIXED-schema file set must project to the
+    declared schema — footer inference could otherwise silently drop
+    the evolved column from the rewritten file."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 4, "a"))
+    t.commit_append(
+        _df(spark, 4, 8, "b").withColumn("score", F.col("id") * 1.0)
+    )
+    t.commit_delete_where([("id", "=", 2)])
+    out = t.read()
+    assert out.columns == ["id", "tag", "score"]
+    assert _ids(out) == [0, 1, 3, 4, 5, 6, 7]
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows[0] is None and rows[5] == 5.0
