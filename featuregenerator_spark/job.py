@@ -8,6 +8,11 @@ unchanged at any executor count —
         --output s3://.../turn_features
         [--config features.json]       (optional FeatureConfig overlay)
         [--ds-from YYYY-MM-DD --ds-to YYYY-MM-DD]
+        [--input-format parquet|snapshot]   (snapshot = Iceberg-protocol
+            table from sources/snapshots.py; each day unit's scan prunes
+            whole day-files via manifest ds-stats before any footer opens)
+        [--output-format lineage|snapshot]  (snapshot = each day unit is
+            one atomic snapshot commit; resume skips committed keys)
 
 (job.py is this file, shipped alongside the zip; the submit path is
 exercised end-to-end at two parallelism levels in
@@ -42,6 +47,7 @@ def build_features_df(
     config: dict | None,
     lookback_days: int = 1,
     snapshots_path: str | None = None,
+    input_format: str = "parquet",
 ):
     """Features for one day-unit, point-in-time correct across unit
     boundaries: the scan includes ``lookback_days`` of history (>= the
@@ -59,15 +65,37 @@ def build_features_df(
     session numbering is window-relative in chunked runs (a session
     crossing the lookback horizon restarts its index).
     """
-    df = spark.read.parquet(input_path)
-    if ds is not None and "ds" in df.columns:
-        # partition values may be type-inferred (DATE); compare as string.
-        # Both bounds are partition filters -> only lookback+1 days scanned.
-        lo = F.date_sub(F.lit(ds).cast("date"), lookback_days).cast("string")
-        df = df.filter(
-            (F.col("ds").cast("string") >= lo)
-            & (F.col("ds").cast("string") <= ds)
-        )
+    if input_format == "snapshot":
+        # Iceberg-protocol transcript table (sources/snapshots.py): the
+        # day range rides read(where=...), so manifest ds-stats DROP
+        # whole day-files from the plan before any footer opens — the
+        # snapshot-table twin of partition pruning; the residual filter
+        # keeps the read exact regardless of commit granularity.
+        import datetime as _dt
+
+        from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, input_path)
+        if ds is not None:
+            lo = (
+                _dt.date.fromisoformat(ds) - _dt.timedelta(days=lookback_days)
+            ).isoformat()
+            df = t.read(where=[("ds", ">=", lo), ("ds", "<=", ds)])
+        else:
+            df = t.read()
+    else:
+        df = spark.read.parquet(input_path)
+        if ds is not None and "ds" in df.columns:
+            # partition values may be type-inferred (DATE); compare as
+            # string. Both bounds are partition filters -> only
+            # lookback+1 days scanned.
+            lo = F.date_sub(F.lit(ds).cast("date"), lookback_days).cast(
+                "string"
+            )
+            df = df.filter(
+                (F.col("ds").cast("string") >= lo)
+                & (F.col("ds").cast("string") <= ds)
+            )
     snaps = spark.read.parquet(snapshots_path) if snapshots_path else None
     feat = build_turn_features(
         with_ts_seconds(df),
@@ -105,6 +133,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--ds-from")
     ap.add_argument("--ds-to")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "snapshot"],
+        default="parquet",
+        help="'snapshot' reads an Iceberg-protocol snapshot table "
+        "(sources/snapshots.py); day units prune via manifest ds-stats",
+    )
+    ap.add_argument(
+        "--output-format",
+        choices=["lineage", "snapshot"],
+        default="lineage",
+        help="'snapshot' commits each day unit as one atomic snapshot "
+        "(resume = skip keys already in committed manifests)",
+    )
     ap.add_argument("--app-name", default="fg-spark-job")
     args = ap.parse_args(argv)
 
@@ -116,7 +158,12 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.config) as f:
             config = json.load(f)
 
-    src = spark.read.parquet(args.input)
+    if args.input_format == "snapshot":
+        from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+        src = SnapshotTable(spark, args.input).read()
+    else:
+        src = spark.read.parquet(args.input)
     if "ds" in src.columns:
         days = [
             r["ds"]
@@ -130,24 +177,43 @@ def main(argv: list[str] | None = None) -> int:
     else:
         days = None
 
-    if days is None:
-        recs = lineage.run_resumable(
+    keys = days if days is not None else ["all"]
+
+    def make_df(key):
+        return build_features_df(
             spark,
-            ["all"],
-            lambda _k: build_features_df(
-                spark, args.input, None, config, snapshots_path=args.snapshots
-            ),
-            args.output,
+            args.input,
+            key if days is not None else None,
+            config,
+            snapshots_path=args.snapshots,
+            input_format=args.input_format,
         )
-    else:
-        recs = lineage.run_resumable(
-            spark,
-            days,
-            lambda ds: build_features_df(
-                spark, args.input, ds, config, snapshots_path=args.snapshots
-            ),
-            args.output,
+
+    if args.output_format == "snapshot":
+        from featuregenerator_spark.sources.snapshots import (
+            SnapshotTable,
+            run_resumable_snapshots,
         )
+
+        new_versions = run_resumable_snapshots(
+            spark, keys, make_df, args.output
+        )
+        table = SnapshotTable(spark, args.output)
+        print(
+            json.dumps(
+                {
+                    "committed_units": len(table.committed_partitions()),
+                    "new_units": len(new_versions),
+                    "total_rows": table.read().count(),
+                    "output": args.output,
+                    "output_format": "snapshot",
+                    "snapshot_version": table.current_version(),
+                }
+            )
+        )
+        return 0
+
+    recs = lineage.run_resumable(spark, keys, make_df, args.output)
     done = lineage.committed_partitions(args.output)
     total = sum(r.rows for r in done.values())
     print(

@@ -100,6 +100,9 @@ def _stat_val(v):
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
         return v.timestamp()
+    if isinstance(v, _dt.date):
+        # manifest stats store dates as ISO strings
+        return v.isoformat()
     return v
 
 
@@ -231,8 +234,12 @@ class SnapshotTable:
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in present:
             col = F.col(c)
-            if dict(df.dtypes)[c].startswith("timestamp"):
+            dt = dict(df.dtypes)[c]
+            if dt.startswith("timestamp"):
                 col = col.cast("double")
+            elif dt == "date":
+                # ISO string: JSON-able and order-preserving
+                col = col.cast("string")
             aggs.append(F.min(col).alias(f"__mn_{c}"))
             aggs.append(F.max(col).alias(f"__mx_{c}"))
         row = df.agg(*aggs).collect()[0]

@@ -174,3 +174,76 @@ def test_chunked_matches_oneshot_for_idle_conversation(spark, tmp_path):
     assert got == want
     assert got[("idle", 1)] == (None, 8)   # beyond-horizon gap: null, top bucket
     assert got[("busy", 3)] == (3600.0 * 22, 8)  # in-horizon day-crossing gap kept
+
+
+def test_job_snapshot_table_input_and_output(spark, transcripts, tmp_path):
+    """The north rule's Iceberg sentence end-to-end through the job
+    entry point: the transcript INPUT is a snapshot table (one commit
+    per day, ds-stats in the manifest), the feature OUTPUT commits one
+    atomic snapshot per day unit, and every feature row matches the
+    one-shot reference. Also proves the read side actually FILE-SKIPS:
+    a single day unit's scan plan keeps only the lookback window's
+    day-files."""
+    import datetime as dt
+    import json
+
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+
+    in_base = str(tmp_path / "snap_in")
+    out_base = str(tmp_path / "snap_out")
+    tdf = transcripts.withColumn(
+        "ds", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    days = sorted(r["ds"] for r in tdf.select("ds").distinct().collect())
+    assert len(days) >= 3, "fixture must span days for the pruning leg"
+    t_in = SnapshotTable(spark, in_base, stats_cols=["ds"])
+    for d in days:
+        t_in.commit_append(
+            tdf.filter(F.col("ds") == d), summary={"partition_key": d}
+        )
+
+    # file-skipping proof: the job's one-day where keeps only the
+    # lookback window's day-files (last day + 1 lookback day)
+    last = days[-1]
+    lo = (dt.date.fromisoformat(last) - dt.timedelta(days=1)).isoformat()
+    kept, pruned = t_in.plan_scan([("ds", ">=", lo), ("ds", "<=", last)])
+    assert len(kept) <= 2 and len(pruned) == len(days) - len(kept)
+
+    rc = jobmod.main(
+        [
+            "--input", in_base,
+            "--output", out_base,
+            "--input-format", "snapshot",
+            "--output-format", "snapshot",
+        ]
+    )
+    assert rc == 0
+    t_out = SnapshotTable(spark, out_base)
+    assert set(t_out.committed_partitions()) == set(days)
+    got = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in EXACT_COLS[2:])
+        for r in t_out.read().select(*EXACT_COLS).collect()
+    }
+    full = build_turn_features(
+        with_ts_seconds(transcripts), gap_horizon_seconds=86400.0
+    ).select(*EXACT_COLS)
+    want = {
+        (r["conv_id"], r["turn_idx"]): tuple(r[c] for c in EXACT_COLS[2:])
+        for r in full.collect()
+    }
+    assert len(got) == len(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, list(mismatches.items())[:3]
+
+    # resumability: a re-run over the same table commits NOTHING new
+    rc2 = jobmod.main(
+        [
+            "--input", in_base,
+            "--output", out_base,
+            "--input-format", "snapshot",
+            "--output-format", "snapshot",
+        ]
+    )
+    assert rc2 == 0
+    assert set(t_out.committed_partitions()) == set(days)
+    assert t_out.read().count() == len(want)
