@@ -3259,6 +3259,59 @@ def q_snapshot_cow_upsert_delete(spark, sf_dir):
     return t.read().select("event_id", "event_type", "value")
 
 
+def q_snapshot_rewrite_zorder(spark, sf_dir):
+    """rewriteDataFiles maintenance (sources/snapshots.py::
+    rewrite_clustered) with a Z-ORDER key: events land hash-scattered
+    (12 files, each spanning ~the full key space — a box predicate can
+    prune nothing), then ONE overwrite commit re-clusters them by the
+    Morton key over (user_id, event_id) into 12 range files with
+    per-file manifest stats. The query HARD-FAILS unless (a) the
+    scattered layout pruned 0 files and (b) the re-clustered layout
+    prunes >= 7 of 12 for the same low-eighth box — so the driver row
+    certifies the layout-maintenance => file-skipping mechanism. The
+    DuckDB oracle applies the same box straight to events (thresholds
+    recomputed from min/max in SQL), proving the pruned read is exact.
+    Content identity + time travel to the pre-rewrite layout are pinned
+    in tests/test_snapshots.py."""
+    import shutil
+
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+    from featuregenerator_spark.sources.zorder import zorder_key_columns
+
+    base = _text_source_stage(sf_dir, "snapzorder")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("event_id"), F.max("event_id"),
+    ).collect()[0]
+    umn, umx, emn, emx = row
+    t = SnapshotTable(spark, base, stats_cols=["user_id", "event_id"])
+    t.commit_append(ev.repartition(12, "event_id"))
+    where = [
+        ("user_id", "between", umn, umn + (umx - umn) // 8),
+        ("event_id", "between", emn, emn + (emx - emn) // 8),
+    ]
+    _, pruned0 = t.plan_files(where)
+    if pruned0:
+        raise RuntimeError(f"hash layout unexpectedly pruned {pruned0}")
+    z = zorder_key_columns(
+        [F.col("user_id"), F.col("event_id")],
+        [(float(umn), float(umx)), (float(emn), float(emx))],
+        bits=16,
+    )
+    t.rewrite_clustered(z, n_files=12)
+    kept1, pruned1 = t.plan_files(where)
+    if len(pruned1) < 7:
+        raise RuntimeError(
+            f"z-order rewrite should prune most files: kept {len(kept1)}, "
+            f"pruned {len(pruned1)}"
+        )
+    return t.read(where=where)
+
+
 def q_zorder_key3(spark, sf_dir):
     """THREE-key Morton layout key over (user_id, epoch(ts), value):
     the reference file-skipping use-case is point lookups on
@@ -3917,9 +3970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: copy-on-write MERGE + DELETE commits; displaces
         # lang_id_trigram (r4-green, text_analysis.py unchanged)
         "snapshot_cow_upsert_delete": q_snapshot_cow_upsert_delete,
+        # new in r5: rewriteDataFiles z-order re-clustering (hard-fails
+        # unless per-file pruning improved); displaces token_count_regex
+        # (r4-green, text_analysis.py unchanged)
+        "snapshot_rewrite_zorder": q_snapshot_rewrite_zorder,
         "pii_scrub": q_pii_scrub,
         "config_compiled_curation": q_config_compiled_curation,
-        "token_count_regex": q_token_count_regex,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
         "config_compiled_dedup": q_config_compiled_dedup,
@@ -3927,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_cosine": q_dedup_cc_cosine,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
+        "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
         "lang_id_trigram": q_lang_id_trigram,
         "quality_lm_perplexity": q_quality_lm_perplexity,
@@ -5398,6 +5455,16 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (SELECT max(event_id) AS mx FROM events)
             SELECT event_id, event_type, value FROM events, m
             WHERE event_id BETWEEN (m.mx // 3) + 1 AND 2 * (m.mx // 3)""",
+        # the same low-eighth box the Spark side plans with (thresholds
+        # recomputed from min/max in SQL); the z-order-rewritten pruned
+        # read must equal the plain box filter over events
+        "snapshot_rewrite_zorder": """
+            WITH s AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+                              min(event_id) AS emn, max(event_id) AS emx
+                       FROM events)
+            SELECT event_id, user_id, event_type, value FROM events, s
+            WHERE user_id BETWEEN s.umn AND s.umn + (s.umx - s.umn) // 8
+              AND event_id BETWEEN s.emn AND s.emn + (s.emx - s.emn) // 8""",
         # MERGE (purchases doubled under key event_id + shifted 'inserted'
         # views) then DELETE event_id <= t1//2, recomputed relationally
         "snapshot_cow_upsert_delete": """

@@ -223,9 +223,11 @@ class SnapshotTable:
 
     def _collect_stats(self, data_name: str) -> dict:
         """min/max/rowcount for ``stats_cols`` over ONE just-written data
-        dir (Iceberg's lower_bounds/upper_bounds manifest entry). One agg
-        job over the new files only; timestamp columns are stored as
-        epoch-second doubles so the manifest stays JSON and comparisons
+        dir, at PER-FILE granularity (Iceberg's manifest entries are per
+        data file) plus the dir-level rollup. One grouped-agg job over
+        the new files only — proportional to the commit, never the
+        table; timestamp columns are stored as epoch-second doubles and
+        dates as ISO strings so the manifest stays JSON and comparisons
         stay total-ordered."""
         from pyspark.sql import functions as F
 
@@ -238,14 +240,38 @@ class SnapshotTable:
             if dt.startswith("timestamp"):
                 col = col.cast("double")
             elif dt == "date":
-                # ISO string: JSON-able and order-preserving
                 col = col.cast("string")
             aggs.append(F.min(col).alias(f"__mn_{c}"))
             aggs.append(F.max(col).alias(f"__mx_{c}"))
-        row = df.agg(*aggs).collect()[0]
+        rows = (
+            df.withColumn(
+                "__f", F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
+            )
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        files = {
+            r["__f"]: {
+                "rows": r["__rows"],
+                "cols": {
+                    c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                },
+            }
+            for r in rows
+        }
+        # dir-level rollup (combined in Python — no second job)
+        cols: dict[str, list] = {}
+        for c in present:
+            mns = [f["cols"][c][0] for f in files.values()
+                   if f["cols"][c][0] is not None]
+            mxs = [f["cols"][c][1] for f in files.values()
+                   if f["cols"][c][1] is not None]
+            cols[c] = [min(mns) if mns else None, max(mxs) if mxs else None]
         return {
-            "rows": row["__rows"],
-            "cols": {c: [row[f"__mn_{c}"], row[f"__mx_{c}"]] for c in present},
+            "rows": sum(f["rows"] for f in files.values()),
+            "cols": cols,
+            "files": files,
         }
 
     def _try_publish(self, manifest: dict) -> bool:
@@ -329,7 +355,7 @@ class SnapshotTable:
         is opened); the residual row filter is then applied to the
         survivors, so results are exact at any stats granularity."""
         snap = self.snapshot(version)
-        kept, _ = self.plan_scan(where, version)
+        kept, _ = self.plan_files(where, version)
         schema = self._declared_schema(snap)
         if not kept:
             # every file pruned: an empty frame with the table schema
@@ -378,6 +404,41 @@ class SnapshotTable:
                 pruned.append(f)
             else:
                 kept.append(f)
+        return kept, pruned
+
+    def plan_files(
+        self,
+        where: list[tuple] | None = None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """``plan_scan`` at PER-FILE granularity: within each surviving
+        data dir, individual part-files whose recorded bounds cannot
+        satisfy ``where`` are pruned too (this is what makes a
+        range-clustered rewrite pay off — see ``rewrite_clustered``).
+        Returns ``(kept, pruned)`` as paths relative to ``data/``; a dir
+        with no per-file stats is kept or pruned as one unit."""
+        snap = self.snapshot(version)
+        stats = snap.get("stats", {})
+        kept: list[str] = []
+        pruned: list[str] = []
+        for d in snap["files"]:
+            st = stats.get(d)
+            if not where or st is None:
+                kept.append(d)
+                continue
+            if _stats_prove_empty(st["cols"], where):
+                pruned.append(d)
+                continue
+            fstats = st.get("files")
+            if not fstats:
+                kept.append(d)
+                continue
+            for fname, fs in fstats.items():
+                p = f"{d}/{fname}"
+                if _stats_prove_empty(fs["cols"], where):
+                    pruned.append(p)
+                else:
+                    kept.append(p)
         return kept, pruned
 
     # ---- copy-on-write row-level operations --------------------------------
@@ -547,6 +608,31 @@ class SnapshotTable:
         } - {None}
 
     # ---- maintenance -----------------------------------------------------
+    def rewrite_clustered(
+        self,
+        key_col,
+        n_files: int,
+        summary: dict | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Iceberg's rewriteDataFiles maintenance action: re-commit the
+        CURRENT snapshot's content range-clustered by ``key_col`` (any
+        Column expression — a single sort key, or a Z-order/Morton key
+        from ``sources/zorder.py`` for multi-dimensional locality) into
+        ``n_files`` range-partitioned files. Content-identical (it is an
+        ``overwrite`` commit; time travel keeps the old layout), but
+        each new file covers a narrow key slice, so per-file manifest
+        stats turn subsequent predicate reads into few-file reads —
+        layout maintenance as a snapshot commit, safe under concurrent
+        readers."""
+        df = self.read().repartitionByRange(n_files, key_col)
+        return self._commit(
+            df,
+            "overwrite",
+            {**(summary or {}), "rewrite": "clustered", "n_files": n_files},
+            max_retries,
+        )
+
     def expire_snapshots(self, keep_last: int) -> list[int]:
         """Retention: drop all but the newest ``keep_last`` version
         manifests (Iceberg's expire_snapshots). Data dirs referenced

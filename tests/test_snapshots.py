@@ -436,3 +436,49 @@ def test_cow_rewrite_preserves_evolved_schema(spark, tmp_path):
     assert _ids(out) == [0, 1, 3, 4, 5, 6, 7]
     rows = {r["id"]: r["score"] for r in out.collect()}
     assert rows[0] is None and rows[5] == 5.0
+
+
+# ---- per-file stats + clustered rewrite -------------------------------------
+
+
+def test_per_file_stats_prune_within_a_dir(spark, tmp_path):
+    """Manifest stats are per data FILE (Iceberg granularity): one
+    commit whose part-files cover disjoint key slices prunes at file
+    level even though the dir-level range spans everything."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=["id"])
+    # one commit, 4 range-partitioned files with disjoint id slices
+    df = spark.range(0, 100).repartitionByRange(4, "id")
+    t.commit_append(df.select("id"))
+    snap = t.snapshot()
+    assert len(snap["files"]) == 1
+    fstats = snap["stats"][snap["files"][0]]["files"]
+    assert len(fstats) == 4
+    kept, pruned = t.plan_files([("id", "between", 10, 15)])
+    assert len(kept) == 1 and len(pruned) == 3
+    assert _ids(t.read(where=[("id", "between", 10, 15)])) == list(
+        range(10, 16)
+    )
+    # dir-level plan_scan still keeps the dir as one unit
+    kept_d, pruned_d = t.plan_scan([("id", "between", 10, 15)])
+    assert len(kept_d) == 1 and pruned_d == []
+
+
+def test_rewrite_clustered_tightens_file_skipping(spark, tmp_path):
+    """The rewriteDataFiles story: a hash-scattered layout prunes
+    nothing for a range predicate; after rewrite_clustered the same
+    read keeps only the files whose slice intersects the range, and the
+    content is identical (and the old layout stays time-travelable)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=["id"])
+    scattered = spark.range(0, 1000).repartition(8, "id").select("id")
+    t.commit_append(scattered)
+    where = [("id", "between", 100, 150)]
+    kept0, pruned0 = t.plan_files(where)
+    assert pruned0 == []  # every hash file spans ~the full range
+    v = t.rewrite_clustered(F.col("id"), n_files=8)
+    assert t.snapshot(v)["operation"] == "overwrite"
+    kept1, pruned1 = t.plan_files(where)
+    assert len(pruned1) >= 6, (kept1, pruned1)
+    assert _ids(t.read(where=where)) == list(range(100, 151))
+    # content identity + time travel to the old layout
+    assert _ids(t.read()) == list(range(1000))
+    assert _ids(t.read(1)) == list(range(1000))
