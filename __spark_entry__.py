@@ -3259,6 +3259,20 @@ def q_snapshot_cow_upsert_delete(spark, sf_dir):
     return t.read().select("event_id", "event_type", "value")
 
 
+def q_snapshot_incremental_read(spark, sf_dir):
+    """Incremental append scan (sources/snapshots.py::read_incremental —
+    Iceberg's changelog-style consumption): events staged as three
+    append commits (event_id thirds), then a read of ONLY what was
+    appended AFTER version 1 — the file-set diff of the manifests, so a
+    downstream consumer touches exactly the new data dirs, never the
+    base. The DuckDB oracle recomputes the same row set straight from
+    events (event_id > max//3), proving the diff equals the logical
+    append set. Non-append ranges refuse (pinned in
+    tests/test_snapshots.py)."""
+    t, t1, t2 = _snapshot_thirds(spark, sf_dir, "snapincr")
+    return t.read_incremental(1).select("event_id", "event_type", "value")
+
+
 def q_snapshot_rewrite_zorder(spark, sf_dir):
     """rewriteDataFiles maintenance (sources/snapshots.py::
     rewrite_clustered) with a Z-ORDER key: events land hash-scattered
@@ -3974,7 +3988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unless per-file pruning improved); displaces token_count_regex
         # (r4-green, text_analysis.py unchanged)
         "snapshot_rewrite_zorder": q_snapshot_rewrite_zorder,
-        "pii_scrub": q_pii_scrub,
+        # new in r5: incremental append scan (manifest file-set diff);
+        # displaces pii_scrub (r4-green, text_clean.py unchanged)
+        "snapshot_incremental_read": q_snapshot_incremental_read,
         "config_compiled_curation": q_config_compiled_curation,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
@@ -3983,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_cosine": q_dedup_cc_cosine,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
+        "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
         "lang_id_trigram": q_lang_id_trigram,
@@ -5455,6 +5472,11 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (SELECT max(event_id) AS mx FROM events)
             SELECT event_id, event_type, value FROM events, m
             WHERE event_id BETWEEN (m.mx // 3) + 1 AND 2 * (m.mx // 3)""",
+        # appended-after-v1 = everything above the first third
+        "snapshot_incremental_read": """
+            WITH m AS (SELECT max(event_id) AS mx FROM events)
+            SELECT event_id, event_type, value FROM events, m
+            WHERE event_id > m.mx // 3""",
         # the same low-eighth box the Spark side plans with (thresholds
         # recomputed from min/max in SQL); the z-order-rewritten pruned
         # read must equal the plain box filter over events

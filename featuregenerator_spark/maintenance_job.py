@@ -1,4 +1,6 @@
-"""spark-submit entry point: table maintenance (compaction, z-order).
+"""spark-submit entry point: table maintenance (compaction, z-order;
+plus in-place snapshot-table maintenance via --snapshot-table —
+rewrite_clustered / expire_snapshots / vacuum, the Iceberg trio).
 
 The operational counterpart of job.py / curation_job.py (same
 deployment contract — the SAME artifact runs unchanged at any executor
@@ -86,11 +88,71 @@ def _run_op(spark, op: dict, src: str, dst: str) -> None:
         raise ValueError(f"unknown maintenance op: {kind!r}")
 
 
+def _run_snapshot_maintenance(spark, base: str, cfg: dict) -> None:
+    """In-place maintenance on a snapshot table (sources/snapshots.py)
+    — the Iceberg maintenance trio as declared ops, each an atomic
+    commit or metadata action with one JSON metrics line:
+
+        {"snapshot_ops": [
+          {"op": "rewrite_clustered", "cols": ["user_id", "ts"],
+           "num_files": 64, "bits": 16},
+          {"op": "expire_snapshots", "keep_last": 5},
+          {"op": "vacuum"}
+        ], "stats_cols": ["user_id", "ts"]}
+
+    rewrite_clustered with one col = plain range clustering; with n
+    cols = Z-order (Morton) clustering over them."""
+    from pyspark.sql import functions as F
+
+    from featuregenerator_spark.sources.snapshots import SnapshotTable
+    from featuregenerator_spark.sources.zorder import zorder_key_columns
+
+    t = SnapshotTable(spark, base, stats_cols=cfg.get("stats_cols"))
+    for i, op in enumerate(cfg["snapshot_ops"]):
+        kind = op["op"]
+        t0 = time.time()
+        rec = {"op": kind, "step": i, "table": base}
+        if kind == "rewrite_clustered":
+            cols = [F.col(c) for c in op["cols"]]
+            n_files = int(op.get("num_files", 64))
+            if len(cols) == 1:
+                key = cols[0]
+            else:
+                aggs = []
+                for c in cols:
+                    d = c.cast("double")
+                    aggs += [F.min(d), F.max(d)]
+                row = t.read().agg(*aggs).collect()[0]
+                stats = [
+                    (row[2 * j], row[2 * j + 1]) for j in range(len(cols))
+                ]
+                key = zorder_key_columns(
+                    cols, stats, bits=int(op.get("bits", 16))
+                )
+            v = t.rewrite_clustered(key, n_files)
+            rec.update({"committed_version": v, "n_files": n_files})
+        elif kind == "expire_snapshots":
+            rec["expired_versions"] = t.expire_snapshots(
+                int(op["keep_last"])
+            )
+        elif kind == "vacuum":
+            rec["removed"] = len(t.vacuum_orphans())
+        else:
+            raise ValueError(f"unknown snapshot maintenance op: {kind!r}")
+        rec["wall_sec"] = round(time.time() - t0, 3)
+        print(json.dumps(rec))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--input", help="source dir (dir-chain mode)")
+    ap.add_argument("--output", help="destination dir (dir-chain mode)")
     ap.add_argument("--config", required=True, help="maintenance op-chain JSON")
+    ap.add_argument(
+        "--snapshot-table",
+        help="in-place maintenance on a snapshot table; config uses "
+        '{"snapshot_ops": [...]} instead of {"ops": [...]}',
+    )
     ap.add_argument("--app-name", default="fg-spark-maintenance")
     args = ap.parse_args(argv)
 
@@ -98,7 +160,15 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(args.app_name)
     with open(args.config) as f:
-        ops = json.load(f)["ops"]
+        cfg = json.load(f)
+    if args.snapshot_table:
+        if not cfg.get("snapshot_ops"):
+            raise ValueError("config.snapshot_ops is empty — nothing to do")
+        _run_snapshot_maintenance(spark, args.snapshot_table, cfg)
+        return 0
+    if not (args.input and args.output):
+        raise ValueError("--input/--output required in dir-chain mode")
+    ops = cfg["ops"]
     if not ops:
         raise ValueError("config.ops is empty — nothing to do")
 

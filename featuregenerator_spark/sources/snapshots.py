@@ -406,6 +406,99 @@ class SnapshotTable:
                 kept.append(f)
         return kept, pruned
 
+    def read_incremental(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Rows APPENDED after ``from_version`` up to ``to_version``
+        (Iceberg's incremental append scan): exactly the data files the
+        newer manifests added, so a downstream consumer processes only
+        new data — never a re-scan of the base, never a row-level diff.
+        ``from_version=0`` means "from the beginning". Raises if any
+        commit in the range is not an append (overwrite / delete /
+        merge / rewrite): a file-set diff would not equal the logical
+        row diff there, so the consumer must re-read the snapshot
+        instead."""
+        to_v = self.current_version() if to_version is None else to_version
+        if to_v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.base}")
+        snap_to = self.snapshot(to_v)
+        v, ops = snap_to, []
+        while v["version"] > from_version:
+            ops.append(v["operation"])
+            if v["parent"] is None:
+                break
+            v = self.snapshot(v["parent"])
+        bad = [o for o in ops if o != "append"]
+        if bad:
+            raise ValueError(
+                f"non-append commit(s) {bad} in ({from_version}, {to_v}]: "
+                "incremental file diff is not the row diff — re-read the "
+                "snapshot"
+            )
+        base_files = (
+            set(self.snapshot(from_version)["files"])
+            if from_version > 0
+            else set()
+        )
+        schema = self._declared_schema(snap_to)
+        new = [f for f in snap_to["files"] if f not in base_files]
+        if not new:
+            return self._read_paths(snap_to["files"], schema).limit(0)
+        df = self._read_paths(new, schema)
+        if where:
+            df = df.filter(_predicate_column(where))
+        return df
+
+    # ---- metadata tables ---------------------------------------------------
+    def history(self) -> DataFrame:
+        """The snapshot log as a DataFrame (Iceberg's ``.history`` /
+        ``.snapshots`` metadata table): one row per published version.
+        Driver-side: manifests are small metadata."""
+        rows = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            stats = s.get("stats", {})
+            rows.append(
+                (
+                    s["version"],
+                    s["parent"],
+                    s["operation"],
+                    float(s["committed_at"]),
+                    len(s["files"]),
+                    sum(st["rows"] for st in stats.values()) if stats else None,
+                    json.dumps(s.get("summary", {}), sort_keys=True),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, committed_at double,"
+            " n_files int, rows long, summary string",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """One row per data file of one snapshot with its recorded
+        bounds (Iceberg's ``.files`` metadata table)."""
+        snap = self.snapshot(version)
+        stats = snap.get("stats", {})
+        rows = []
+        for d in snap["files"]:
+            st = stats.get(d)
+            for fname, fs in ((st or {}).get("files") or {"": None}).items():
+                rows.append(
+                    (
+                        d,
+                        fname or None,
+                        fs["rows"] if fs else None,
+                        json.dumps(fs["cols"], sort_keys=True) if fs else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "data_dir string, file string, rows long, bounds string"
+        )
+
     def plan_files(
         self,
         where: list[tuple] | None = None,

@@ -482,3 +482,44 @@ def test_rewrite_clustered_tightens_file_skipping(spark, tmp_path):
     # content identity + time travel to the old layout
     assert _ids(t.read()) == list(range(1000))
     assert _ids(t.read(1)) == list(range(1000))
+
+
+# ---- incremental append scan + metadata tables ------------------------------
+
+
+def test_read_incremental_returns_only_appended_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5, "a"))
+    t.commit_append(_df(spark, 5, 8, "b"))
+    t.commit_append(_df(spark, 8, 12, "c"))
+    assert _ids(t.read_incremental(1)) == list(range(5, 12))
+    assert _ids(t.read_incremental(1, 2)) == [5, 6, 7]
+    assert _ids(t.read_incremental(2, 3)) == [8, 9, 10, 11]
+    assert _ids(t.read_incremental(0, 1)) == [0, 1, 2, 3, 4]
+    # empty diff: same version on both sides
+    assert t.read_incremental(2, 2).count() == 0
+
+
+def test_read_incremental_refuses_non_append_ranges(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5, "a"))
+    t.commit_delete_where([("id", "=", 2)])
+    t.commit_append(_df(spark, 10, 12, "b"))
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(1)
+    # a range strictly after the delete is fine
+    assert _ids(t.read_incremental(2, 3)) == [10, 11]
+
+
+def test_history_and_files_metadata_tables(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stats_cols=["id"])
+    t.commit_append(_df(spark, 0, 5, "a"), summary={"job": "x"})
+    t.commit_overwrite(_df(spark, 10, 14, "b"))
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[1]["operation"] == "append" and h[1]["parent"] is None
+    assert h[2]["operation"] == "overwrite" and h[2]["parent"] == 1
+    assert h[1]["rows"] == 5 and h[2]["rows"] == 4
+    assert "\"job\": \"x\"" in h[1]["summary"]
+    f = t.files().collect()
+    assert sum(r["rows"] for r in f) == 4  # current = the overwrite
+    assert all(r["bounds"] is not None for r in f)
