@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
         help="'snapshot' commits each day unit as one atomic snapshot "
         "(resume = skip keys already in committed manifests)",
     )
+    ap.add_argument(
+        "--output-stats-cols",
+        default="ds,ts",
+        help="comma list of columns to record per-file manifest stats "
+        "for in --output-format snapshot (default 'ds,ts': the feature "
+        "table always carries ts, so downstream snapshot readers can "
+        "file-skip by time range; columns absent from the output are "
+        "skipped)",
+    )
     ap.add_argument("--app-name", default="fg-spark-job")
     args = ap.parse_args(argv)
 
@@ -195,8 +204,11 @@ def main(argv: list[str] | None = None) -> int:
             run_resumable_snapshots,
         )
 
+        stats_cols = [
+            c for c in args.output_stats_cols.split(",") if c.strip()
+        ]
         new_versions = run_resumable_snapshots(
-            spark, keys, make_df, args.output
+            spark, keys, make_df, args.output, stats_cols=stats_cols or None
         )
         table = SnapshotTable(spark, args.output)
         print(

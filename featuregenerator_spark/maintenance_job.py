@@ -136,7 +136,12 @@ def _run_snapshot_maintenance(spark, base: str, cfg: dict) -> None:
                 int(op["keep_last"])
             )
         elif kind == "vacuum":
-            rec["removed"] = len(t.vacuum_orphans())
+            # 72h default: a no-age vacuum racing an in-flight commit
+            # (data written, manifest not yet published) would delete
+            # its files — Iceberg's remove_orphan_files default is 3d
+            age_h = float(op.get("min_age_hours", 72))
+            rec["removed"] = len(t.vacuum_orphans(age_h * 3600.0))
+            rec["min_age_hours"] = age_h
         else:
             raise ValueError(f"unknown snapshot maintenance op: {kind!r}")
         rec["wall_sec"] = round(time.time() - t0, 3)

@@ -90,6 +90,13 @@ def encode_lookup_entries(
         for pdf in batches:
             cols = {c: [] for c, _, _ in specs}
             for entries in pdf[entries_col]:
+                if entries is None:
+                    # a NULL entries row (e.g. a key with no history
+                    # after an outer join) encodes as NULL payloads, not
+                    # a worker TypeError that kills the whole job
+                    for out_col, _, _ in specs:
+                        cols[out_col].append(None)
+                    continue
                 mapping = {
                     e["key"]: (
                         [float(e["value"])]

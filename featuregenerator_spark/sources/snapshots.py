@@ -354,13 +354,25 @@ class SnapshotTable:
         DROPPED FROM THE PLAN (manifest-level file skipping — no footer
         is opened); the residual row filter is then applied to the
         survivors, so results are exact at any stats granularity."""
+        # resolve "latest" exactly ONCE: snapshot() and plan_files()
+        # each re-resolving under a concurrent commit would tear the
+        # read this method promises is untearable
+        if version is None:
+            version = self.current_version()
         snap = self.snapshot(version)
         kept, _ = self.plan_files(where, version)
         schema = self._declared_schema(snap)
-        if not kept:
-            # every file pruned: an empty frame with the table schema
-            df = self._read_paths(snap["files"], schema)
-            return df.limit(0)
+        if not snap["files"] or not kept:
+            # every file pruned (or an all-rows delete left no files):
+            # an empty frame with the snapshot's schema of record
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            if not snap["files"]:
+                raise ValueError(
+                    f"v{snap['version']} of {self.base} has no data files "
+                    "and no recorded schema — nothing to infer a frame from"
+                )
+            return self._read_paths(snap["files"], None).limit(0)
         df = self._read_paths(kept, schema)
         if where:
             df = df.filter(_predicate_column(where))
@@ -385,6 +397,29 @@ class SnapshotTable:
             reader = reader.schema(schema)
         return reader.parquet(*[f"{self.base}/data/{n}" for n in names])
 
+    def _stat_domain(self, v):
+        """Predicate value -> the domain manifest stats are stored in.
+        Naive datetimes are interpreted in the SESSION timezone (the
+        same one Spark's residual filter will use) before converting to
+        epoch — interpreting them as UTC would let the pruner and the
+        filter disagree and drop matching files."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            from zoneinfo import ZoneInfo
+
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+            v = v.replace(tzinfo=ZoneInfo(tz))
+        return _stat_val(v)
+
+    def _stat_where(self, where):
+        if not where:
+            return where
+        return [
+            (spec[0], spec[1], *[self._stat_domain(v) for v in spec[2:]])
+            for spec in where
+        ]
+
     def plan_scan(
         self,
         where: list[tuple] | None = None,
@@ -394,6 +429,7 @@ class SnapshotTable:
         manifest stats. Returns ``(kept, pruned)`` data-dir names; files
         with no recorded stats for a predicate column are always kept
         (pruning is an optimization, never a correctness dependency)."""
+        where = self._stat_where(where)
         snap = self.snapshot(version)
         stats = snap.get("stats", {})
         kept: list[str] = []
@@ -510,6 +546,7 @@ class SnapshotTable:
         range-clustered rewrite pay off — see ``rewrite_clustered``).
         Returns ``(kept, pruned)`` as paths relative to ``data/``; a dir
         with no per-file stats is kept or pruned as one unit."""
+        where = self._stat_where(where)
         snap = self.snapshot(version)
         stats = snap.get("stats", {})
         kept: list[str] = []
@@ -556,23 +593,41 @@ class SnapshotTable:
         operation: str,
         summary: dict | None,
         max_retries: int,
+        conflict_filter=None,
     ) -> int:
         """CAS loop for a row-level rewrite: swap ``removed`` for
         ``added`` atop whatever the CURRENT snapshot is, with Iceberg's
-        optimistic validation — if a concurrent commit already removed
-        (rewrote/overwrote) one of the files this operation read and
-        rewrote, the swap would silently undo that commit's row changes,
-        so it raises ``CommitConflict``; concurrent commits touching
-        DISJOINT files (appends, other rewrites) are rebased over."""
+        serializable-style optimistic validation —
+
+        - if a concurrent commit already removed (rewrote/overwrote)
+          one of the files this operation read and rewrote, the swap
+          would silently undo that commit's row changes: conflict;
+        - if a concurrent commit ADDED files whose rows this operation
+          WOULD have affected (``conflict_filter(added_dirs)`` — a
+          matched merge key, a row matching the delete predicate), the
+          result would miss them: conflict;
+        - concurrent commits of genuinely disjoint data are rebased
+          over."""
+        base_files = set(self.snapshot(base_version)["files"])
+        base_schema = self.snapshot(base_version).get("schema")
         for _ in range(max_retries):
             cur = self.current_version()
             snap = self.snapshot(cur)
             cur_files = set(snap["files"])
-            if cur != base_version and not removed <= cur_files:
-                raise CommitConflict(
-                    f"{operation} read files rewritten by a concurrent "
-                    f"commit: {sorted(removed - cur_files)}"
-                )
+            if cur != base_version:
+                if not removed <= cur_files:
+                    raise CommitConflict(
+                        f"{operation} read files rewritten by a concurrent "
+                        f"commit: {sorted(removed - cur_files)}"
+                    )
+                winner_added = sorted(cur_files - base_files - set(added))
+                if winner_added and conflict_filter is not None and (
+                    conflict_filter(winner_added)
+                ):
+                    raise CommitConflict(
+                        f"a concurrent commit appended rows this "
+                        f"{operation} would have affected: {winner_added}"
+                    )
             files = [f for f in snap["files"] if f not in removed] + added
             stats = {
                 f: s
@@ -589,6 +644,12 @@ class SnapshotTable:
                 "summary": summary or {},
                 "committed_at": time.time(),
             }
+            # the rewrite projected its content to the base snapshot's
+            # schema of record — carry it (or the winner's, if a
+            # concurrent commit evolved it: the winner's files dominate)
+            schema = snap.get("schema") or base_schema
+            if schema is not None:
+                manifest["schema"] = schema
             if self._try_publish(manifest):
                 return manifest["version"]
         raise CommitConflict(
@@ -638,9 +699,21 @@ class SnapshotTable:
             added = [name]
             if self.stats_cols:
                 added_stats = {name: self._collect_stats(name)}
+
+        def appended_rows_match(dirs: list[str]) -> bool:
+            # a concurrent append whose rows match the predicate would
+            # survive a blind rebase undeleted — that's a conflict
+            return (
+                self._read_dirs_tagged(dirs, schema)
+                .filter(pred)
+                .limit(1)
+                .count()
+                > 0
+            )
+
         return self._publish_rewrite(
             base_v, affected, added, added_stats, "delete",
-            summary, max_retries,
+            summary, max_retries, conflict_filter=appended_rows_match,
         )
 
     def commit_merge(
@@ -687,17 +760,31 @@ class SnapshotTable:
         added_stats = (
             {name: self._collect_stats(name)} if self.stats_cols else {}
         )
+
+        def appended_keys_match(dirs: list[str]) -> bool:
+            # a concurrent append holding one of the merge keys would
+            # coexist with the source row after a blind rebase — two
+            # rows per key breaks MERGE's postcondition
+            return (
+                self._read_dirs_tagged(dirs, schema)
+                .join(keys, on, "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            )
+
         return self._publish_rewrite(
             base_v, affected, [name], added_stats, "merge",
-            summary, max_retries,
+            summary, max_retries, conflict_filter=appended_keys_match,
         )
 
     # ---- resumable ingestion ----------------------------------------------
     def committed_partitions(self) -> set[str]:
-        """Partition keys recorded in committed snapshot summaries."""
+        """Partition keys recorded in committed snapshot summaries —
+        including keys whose snapshots were expired (the retention
+        ledger keeps them, so resume stays exactly-once forever)."""
         return {
-            self.snapshot(v)["summary"].get("partition_key")
-            for v in self.versions()
+            s.get("partition_key") for s in self.committed_summaries()
         } - {None}
 
     # ---- maintenance -----------------------------------------------------
@@ -731,31 +818,77 @@ class SnapshotTable:
         manifests (Iceberg's expire_snapshots). Data dirs referenced
         only by expired versions become orphans that the next
         ``vacuum_orphans`` reclaims; versions within retention stay
-        fully time-travelable. Returns the expired version numbers."""
+        fully time-travelable. Returns the expired version numbers.
+
+        The expired versions' SUMMARIES are preserved first in an
+        append-only ledger file (``metadata/ledger-*.json``) — they are
+        the exactly-once resume record (partition keys, stream batch
+        ids), and losing them to retention would make a resumed ingest
+        re-commit old units. Ledger writes are new files, never
+        overwrites, so a crash mid-expire is safe (union semantics)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         expired = vs[:-keep_last]
+        if expired:
+            summaries = [
+                s for s in (self.snapshot(v).get("summary") for v in expired)
+                if s
+            ]
+            if summaries:
+                self._write_file(
+                    self._meta(f"ledger-{uuid.uuid4().hex}.json"),
+                    json.dumps({"summaries": summaries}),
+                )
         for v in expired:
             self._fs.delete(self._Path(self._meta(f"v{v}.json")), False)
         return expired
 
-    def vacuum_orphans(self) -> list[str]:
+    def committed_summaries(self) -> list[dict]:
+        """Every commit summary visible to resume logic: live manifests
+        PLUS the ledger entries preserved by ``expire_snapshots`` — so
+        exactly-once dedup of partition keys / stream batches survives
+        retention."""
+        out: list[dict] = []
+        for st in self._fs.listStatus(self._Path(f"{self.base}/metadata")):
+            name = st.getPath().getName()
+            if name.startswith("ledger-") and name.endswith(".json"):
+                out.extend(
+                    json.loads(self._read_file(self._meta(name)))["summaries"]
+                )
+        for v in self.versions():
+            s = self.snapshot(v).get("summary")
+            if s:
+                out.append(s)
+        return out
+
+    def vacuum_orphans(self, min_age_seconds: float = 0.0) -> list[str]:
         """Delete data dirs referenced by NO published manifest (crashed
         writers, lost CAS attempts) and stale tmp manifests. Never
-        touches any published version's files."""
+        touches any published version's files.
+
+        ``min_age_seconds`` skips unreferenced paths younger than the
+        threshold: an IN-FLIGHT commit writes its data dir BEFORE
+        publishing the manifest, so a concurrent vacuum with no age
+        guard would delete it and the subsequent CAS would publish a
+        manifest pointing at deleted files (Iceberg's
+        remove_orphan_files requires an olderThan interval for exactly
+        this race — production maintenance should pass hours, not 0)."""
         live: set[str] = set()
         for v in self.versions():
             live.update(self.snapshot(v)["files"])
+        cutoff_ms = (time.time() - min_age_seconds) * 1000.0
         removed = []
         for st in self._fs.listStatus(self._Path(f"{self.base}/data")):
             name = st.getPath().getName()
-            if name not in live:
+            if name not in live and st.getModificationTime() <= cutoff_ms:
                 self._fs.delete(st.getPath(), True)
                 removed.append(f"data/{name}")
         for st in self._fs.listStatus(self._Path(f"{self.base}/metadata")):
             name = st.getPath().getName()
-            if name.startswith("tmp-"):
+            if name.startswith("tmp-") and (
+                st.getModificationTime() <= cutoff_ms
+            ):
                 self._fs.delete(st.getPath(), False)
                 removed.append(f"metadata/{name}")
         return removed
@@ -766,6 +899,7 @@ def run_resumable_snapshots(
     partition_keys: list[str],
     make_df,
     base: str,
+    stats_cols: list[str] | None = None,
 ) -> list[int]:
     """``plans/lineage.run_resumable``'s twin over SnapshotTable: each
     input partition commits as ONE append snapshot whose summary records
@@ -778,8 +912,9 @@ def run_resumable_snapshots(
     Returns the versions committed by THIS run. Exactly-once per
     partition key holds because the skip set is derived from committed
     manifests only — the same replay contract as the lineage commit log,
-    now with table-level isolation."""
-    table = SnapshotTable(spark, base)
+    now with table-level isolation. ``stats_cols`` records per-file
+    bounds on each commit so downstream readers can file-skip."""
+    table = SnapshotTable(spark, base, stats_cols=stats_cols)
     done = table.committed_partitions()
     out: list[int] = []
     for key in partition_keys:

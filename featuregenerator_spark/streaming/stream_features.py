@@ -434,7 +434,10 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
 
 
 def stream_to_snapshots(
-    stream_df: DataFrame, base: str, checkpoint: str
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    stats_cols: list[str] | None = None,
 ):
     """Exactly-once streaming sink into a SnapshotTable
     (sources/snapshots.py): each micro-batch commits as ONE append
@@ -448,9 +451,17 @@ def stream_to_snapshots(
     record instead of an external store). Readers get snapshot
     isolation: a micro-batch is fully visible or not at all.
 
+    Batch ids are scoped to the CHECKPOINT (they restart at 0 for a
+    fresh checkpoint or a second query), so the ledger keys on
+    (checkpoint, batch_id) — a new stream into the same table never has
+    its real batches mistaken for replays of another stream's ids.
+
     Returns the started StreamingQuery (caller drives/stops it)."""
     def commit_batch(batch_df, batch_id: int) -> None:
-        commit_stream_batch(base, batch_df, batch_id)
+        commit_stream_batch(
+            base, batch_df, batch_id, stream_id=checkpoint,
+            stats_cols=stats_cols,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(commit_batch)
@@ -459,18 +470,43 @@ def stream_to_snapshots(
     )
 
 
-def commit_stream_batch(base: str, batch_df: DataFrame, batch_id: int) -> bool:
-    """One micro-batch -> one append snapshot, idempotent on batch_id.
-    Returns True if the batch committed, False if it was a replay of an
+# (base, stream_id) -> committed batch ids, maintained across batches so
+# the sink reads the full manifest/ledger history ONCE per process, not
+# once per micro-batch (O(N) manifest opens per batch otherwise).
+# Structured Streaming guarantees a single writer per checkpoint, so
+# in-memory tracking is safe; a restart simply rescans once.
+_STREAM_LEDGER_CACHE: dict[tuple, set] = {}
+
+
+def commit_stream_batch(
+    base: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> bool:
+    """One micro-batch -> one append snapshot, idempotent on
+    (stream_id, batch_id). The dedup record survives snapshot retention
+    (expire_snapshots preserves summaries in the ledger). Returns True
+    if the batch committed, False if it was a replay of an
     already-committed batch (skipped)."""
     from featuregenerator_spark.sources.snapshots import SnapshotTable
 
-    table = SnapshotTable(batch_df.sparkSession, base)
-    done = {
-        table.snapshot(v)["summary"].get("stream_batch_id")
-        for v in table.versions()
-    }
+    table = SnapshotTable(batch_df.sparkSession, base, stats_cols=stats_cols)
+    key = (table.base, stream_id)
+    done = _STREAM_LEDGER_CACHE.get(key)
+    if done is None:
+        done = {
+            s.get("stream_batch_id")
+            for s in table.committed_summaries()
+            if s.get("stream_id") == stream_id
+        } - {None}
+        _STREAM_LEDGER_CACHE[key] = done
     if batch_id in done:
         return False  # replayed batch: already transactionally committed
-    table.commit_append(batch_df, summary={"stream_batch_id": batch_id})
+    table.commit_append(
+        batch_df,
+        summary={"stream_batch_id": batch_id, "stream_id": stream_id},
+    )
+    done.add(batch_id)
     return True

@@ -90,7 +90,9 @@ def test_snapshot_table_maintenance_mode(spark, tmp_path, capsys):
             {"op": "rewrite_clustered", "cols": ["user_id", "event_id"],
              "num_files": 8, "bits": 8},
             {"op": "expire_snapshots", "keep_last": 1},
-            {"op": "vacuum"},
+            # age 0 for the test; production default is 72h (in-flight
+            # commit race — see vacuum_orphans)
+            {"op": "vacuum", "min_age_hours": 0},
         ],
     }
     cfg_path = str(tmp_path / "s.json")

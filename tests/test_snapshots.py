@@ -193,10 +193,24 @@ def test_streaming_sink_commits_batches_exactly_once(spark, tmp_path):
     )
     before = t.versions()
     assert (
-        commit_stream_batch(base, _df(spark, 0, 5, "a"), replay_id) is False
+        commit_stream_batch(
+            base, _df(spark, 0, 5, "a"), replay_id, stream_id=ckpt
+        )
+        is False
     )
     assert t.versions() == before
     assert _ids(t.read()) == [0, 1, 2, 3, 4]
+
+    # a DIFFERENT stream (new checkpoint) reusing batch id 0 is NOT a
+    # replay — its batches are scoped by its own checkpoint identity
+    assert (
+        commit_stream_batch(
+            base, _df(spark, 100, 102, "other"), replay_id,
+            stream_id=str(tmp_path / "ckpt2"),
+        )
+        is True
+    )
+    assert _ids(t.read()) == [0, 1, 2, 3, 4, 100, 101]
 
     # restart with NEW data: only the new batch commits
     _df(spark, 5, 8, "b").coalesce(1).write.mode("overwrite").parquet(
@@ -209,7 +223,7 @@ def test_streaming_sink_commits_batches_exactly_once(spark, tmp_path):
     )
     q2.processAllAvailable()
     q2.stop()
-    assert _ids(t.read()) == list(range(8))
+    assert _ids(t.read()) == list(range(8)) + [100, 101]
     assert t.current_version() > v_after_first
 
 
@@ -523,3 +537,94 @@ def test_history_and_files_metadata_tables(spark, tmp_path):
     f = t.files().collect()
     assert sum(r["rows"] for r in f) == 4  # current = the overwrite
     assert all(r["bounds"] is not None for r in f)
+
+
+# ---- review fixes: retention ledger, OCC append conflicts, vacuum age -------
+
+
+def test_expire_preserves_resume_ledger(spark, tmp_path):
+    """expire_snapshots must not erase the exactly-once record: after
+    retention drops the manifests of committed partitions, a resumed
+    ingest still skips them (summaries live on in the ledger)."""
+    from featuregenerator_spark.sources.snapshots import (
+        run_resumable_snapshots,
+    )
+
+    base = str(tmp_path / "t")
+    keys = ["d1", "d2", "d3"]
+    spans = {"d1": (0, 3), "d2": (3, 5), "d3": (5, 9)}
+    calls = []
+
+    def make_df(k):
+        calls.append(k)
+        return _df(spark, *spans[k], k)
+
+    run_resumable_snapshots(spark, keys, make_df, base)
+    t = SnapshotTable(spark, base)
+    assert t.expire_snapshots(keep_last=1) == [1, 2]
+    # resume over the same keys: NOTHING re-commits
+    run_resumable_snapshots(spark, keys, make_df, base)
+    assert calls == keys  # each key built exactly once, ever
+    assert t.committed_partitions() == {"d1", "d2", "d3"}
+    assert t.versions() == [3]
+
+
+def test_cow_merge_conflicts_with_concurrent_append_of_same_key(
+    spark, tmp_path, monkeypatch
+):
+    """Serializable validation: a concurrent APPEND carrying one of the
+    merge keys would coexist with the merged row after a blind rebase
+    (two rows per key) — must raise instead."""
+    base = str(tmp_path / "t")
+    t = _stats_table(spark, base)
+    racer = SnapshotTable(spark, base)
+    real_publish = t._try_publish
+    state = {"raced": False}
+
+    def racing_publish(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            racer.commit_append(_df(spark, 6, 7, "racer"))  # key 6!
+        return real_publish(manifest)
+
+    monkeypatch.setattr(t, "_try_publish", racing_publish)
+    src = spark.createDataFrame([(6, "upd")], "id long, tag string")
+    with pytest.raises(CommitConflict, match="appended rows"):
+        t.commit_merge(src, on=["id"])
+    # a DISJOINT concurrent append still rebases fine
+    state["raced"] = False
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stats_cols=["id"])
+    t2.commit_append(_df(spark, 0, 5, "a"))
+    real2 = t2._try_publish
+
+    def racing2(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            SnapshotTable(spark, str(tmp_path / "t2")).commit_append(
+                _df(spark, 50, 52, "racer")
+            )
+        return real2(manifest)
+
+    monkeypatch.setattr(t2, "_try_publish", racing2)
+    t2.commit_merge(src, on=["id"])  # key 6 not in the racer's rows
+    assert _ids(t2.read()) == [0, 1, 2, 3, 4, 6, 50, 51]
+
+
+def test_vacuum_age_guard_protects_inflight_commits(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3, "a"))
+    orphan = t._write_data(_df(spark, 90, 95, "inflight"))
+    # a fresh unreferenced dir is an IN-FLIGHT commit, not garbage
+    assert t.vacuum_orphans(min_age_seconds=3600) == []
+    # age 0 (explicit) reclaims it
+    assert f"data/{orphan}" in t.vacuum_orphans()
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5, "a"))
+    t.commit_delete_where([("id", ">=", 0)])
+    out = t.read()
+    assert out.count() == 0 and out.columns == ["id", "tag"]
+    # the delete manifest still carries the schema of record
+    assert t.snapshot()["schema"]["fields"][0]["name"] == "id"
