@@ -319,9 +319,16 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    # in-run host-quietness probes bracketing the HEADLINE window only
+    # (the non-headline families run minutes later; a probe after the
+    # whole process conflates their window with the headline's — the
+    # round-4/5 quiet-window chases need the headline bracket)
+    probe_headline_before = _effective_cores(16)
+
     t, rows = run_flagship(spark, sf)
     queries["flagship_transcripts"] = round(t, 3)
     turns_per_sec = rows / t if t > 0 else 0.0
+    probe_headline_after = _effective_cores(16)  # re-read below the full family
 
     skew_ratio = skew_mega_speedup = None
     skew_mega: dict[str, float] = {}
@@ -343,6 +350,7 @@ def main() -> None:
         )
         qmap = entrymod.queries()
         queries.update(_time_family(qmap, spark, BENCH_QUERIES))
+        probe_headline_after = _effective_cores(16)
 
         # incremental-dedup legs (round 3 additions): like skew_mega,
         # reported as separate fields, NOT in the headline sum, to keep
@@ -451,6 +459,8 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "cores": cores,
+                "probe_headline_before": probe_headline_before,
+                "probe_headline_after": probe_headline_after,
                 "flagship_rows": rows,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
                 "skew_slowdown_ratio": skew_ratio,

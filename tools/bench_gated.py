@@ -71,10 +71,20 @@ def main() -> None:
             continue
         res = json.loads(lines[-1])
         probe_after = bench._effective_cores(16)
-        clean = probe_after >= gate
+        # clean = the HEADLINE window itself was quiet. bench.py emits
+        # in-run probes bracketing exactly the headline family; prefer
+        # those (a probe after the whole 8-min process conflates the
+        # non-headline families' window with the headline's).
+        hb = res.get("probe_headline_before")
+        ha = res.get("probe_headline_after")
+        if hb is not None and ha is not None:
+            clean = hb >= gate and ha >= gate
+        else:
+            clean = probe_after >= gate
         rec = {
             "event": "rep", "headline_sec": res["value"],
             "probe_before": probe, "probe_after": probe_after,
+            "headline_bracket": [hb, ha],
             "clean": clean, "result": res,
         }
         log(rec)
