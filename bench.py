@@ -293,6 +293,13 @@ def main() -> None:
         if a == "--cores":
             cores = int(sys.argv[i + 1])
 
+    # host-quietness probe BEFORE the JVM exists: taken after session
+    # startup it under-reads by ~2-3/16 (startup threads look like
+    # contention — measured 12.2 in-run vs 15.1 external seconds apart
+    # on a rep that then ran at quiet-window speed), mislabeling quiet
+    # headline windows as dirty
+    probe_headline_before = _effective_cores(16)
+
     from featuregenerator_spark.session import get_spark
 
     spark = get_spark(
@@ -319,12 +326,10 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # in-run host-quietness probes bracketing the HEADLINE window only
-    # (the non-headline families run minutes later; a probe after the
-    # whole process conflates their window with the headline's — the
+    # the closing bracket lands right after the headline family below;
+    # the non-headline families run minutes later, so a post-process
+    # probe would conflate their window with the headline's (the
     # round-4/5 quiet-window chases need the headline bracket)
-    probe_headline_before = _effective_cores(16)
-
     t, rows = run_flagship(spark, sf)
     queries["flagship_transcripts"] = round(t, 3)
     turns_per_sec = rows / t if t > 0 else 0.0
