@@ -1725,6 +1725,23 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Top-10 documents for a 4-term probe query under Okapi BM25
+    (k1=1.2, b=0.75, Lucene log-smoothed idf) — corpus search for
+    quality triage and decontamination forensics. The exploded token
+    stream is filtered to the query vocabulary inside the same codegen
+    pass as the explode (query-sized shuffle, not corpus-sized); corpus
+    stats ride one broadcast row; per-term contributions quantize to
+    integer micro-units before the per-doc sum so the aggregation is
+    order-independent (exact long adds — the quality_model_score
+    lesson); top-k is TakeOrderedAndProject, never a global window."""
+    from featuregenerator_spark.operators.retrieval import bm25_topk
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    return bm25_topk(docs, ("spark", "merge", "vector", "window"), k=10)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 TF-IDF terms per document (tf x smoothed idf, scikit-learn
     formulation), fully relational with a deterministic (score DESC,
@@ -3965,7 +3982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
-        "streaming_window_counts": q_streaming_window_counts,
         # new in r5: write-side legacy codecs (encode -> decode == id);
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
@@ -3991,6 +4007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: incremental append scan (manifest file-set diff);
         # displaces pii_scrub (r4-green, text_clean.py unchanged)
         "snapshot_incremental_read": q_snapshot_incremental_read,
+        # new in r5 session 2: Okapi BM25 corpus search; displaces
+        # streaming_window_counts (r4-green, unchanged this round)
+        "bm25_topk": q_bm25_topk,
         "config_compiled_curation": q_config_compiled_curation,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
@@ -3999,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_cosine": q_dedup_cc_cosine,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
+        "streaming_window_counts": q_streaming_window_counts,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4214,6 +4234,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM lens),
+            qhits AS (
+              SELECT doc_id, unnest(toks) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM qhits
+                   WHERE term IN ('merge', 'spark', 'vector', 'window')
+                   GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT doc_id,
+                     CAST(round(
+                       (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * ((tf * (1.2 + 1.0))
+                           / (tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * CAST(dl AS DOUBLE) / avgdl))))
+                       * 1000000.0) AS BIGINT) AS micro
+              FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id),
+                   stats),
+            scored AS (SELECT doc_id, sum(micro) AS micro
+                       FROM contrib GROUP BY doc_id),
+            r AS (SELECT doc_id, micro,
+                         row_number() OVER (ORDER BY micro DESC,
+                                            doc_id ASC) AS rank
+                  FROM scored)
+            SELECT doc_id, micro / 1000000.0 AS bm25,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 10""",
         "tfidf_top_terms": """
             WITH terms AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term
