@@ -1725,6 +1725,22 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 iterations) over the embeddings
+    table with bit-reproducible integer arithmetic: milli-unit
+    quantization, exact long distances, round(long-sum/count) centroid
+    updates — the whole recurrence is order-independent, so the unrolled
+    2-iteration SQL oracle reproduces Spark's assignments EXACTLY (no
+    float-fold knife edges, the quality_model_score lesson applied to an
+    iterative algorithm). Assignment is a broadcast nested-loop over k
+    centroid rows; the update shuffles k*d long rows per iteration."""
+    from featuregenerator_spark.operators.kmeans import kmeans_assign
+
+    par = spark.sparkContext.defaultParallelism
+    emb = _read(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Top-10 documents for a 4-term probe query under Okapi BM25
     (k1=1.2, b=0.75, Lucene log-smoothed idf) — corpus search for
@@ -3981,7 +3997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_compiled_temporal": q_config_compiled_temporal,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
-        "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         # new in r5: write-side legacy codecs (encode -> decode == id);
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
@@ -4010,6 +4025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: Okapi BM25 corpus search; displaces
         # streaming_window_counts (r4-green, unchanged this round)
         "bm25_topk": q_bm25_topk,
+        # new in r5 session 2: bit-reproducible Lloyd k-means; displaces
+        # neardup_ngram_jaccard (r4-green, unchanged this round)
+        "kmeans_assign": q_kmeans_assign,
         "config_compiled_curation": q_config_compiled_curation,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
@@ -4019,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
         "streaming_window_counts": q_streaming_window_counts,
+        "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4234,6 +4253,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "kmeans_assign": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qv
+              FROM embeddings),
+            qx AS (SELECT vec_id, generate_subscripts(qv, 1) AS pos,
+                          unnest(qv) AS val FROM q),
+            c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos,
+                          val AS cval
+                   FROM qx WHERE vec_id < 8),
+            d1 AS (SELECT a.vec_id, c.cid,
+                          sum((a.val - c.cval) * (a.val - c.cval)) AS d
+                   FROM qx a JOIN c0 c USING (pos)
+                   GROUP BY a.vec_id, c.cid),
+            a1 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) AS rn
+                     FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a1.cid, qx.pos,
+                          CAST(round(CAST(sum(qx.val) AS DOUBLE)
+                                     / count(*)) AS BIGINT) AS cval
+                   FROM qx JOIN a1 USING (vec_id)
+                   GROUP BY a1.cid, qx.pos),
+            d2 AS (SELECT a.vec_id, c.cid,
+                          sum((a.val - c.cval) * (a.val - c.cval)) AS d
+                   FROM qx a JOIN c1 c USING (pos)
+                   GROUP BY a.vec_id, c.cid),
+            a2 AS (SELECT vec_id, cid, d,
+                          row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cid) AS rn
+                   FROM d2)
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+                   CAST(d AS BIGINT) AS dist_sq
+            FROM a2 WHERE rn = 1""",
         "bm25_topk": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS toks
