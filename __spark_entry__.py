@@ -1725,6 +1725,45 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+_URL_HOSTS = (
+    "ads7.example.com",
+    "cdn.tracker.net",
+    "docs.spark.apache.org",
+    "user:pw@mirror.spam-mill.biz:8080",
+    "blog.example.com",
+    "en.wikipedia.org",
+    "sub.deep.tracker.net",
+)
+_URL_BLOCKLIST = ("ads7.example.com", "tracker.net", "spam-mill.biz")
+
+
+def q_url_domain_filter(spark, sf_dir):
+    """UT1-style domain blocklist audit: deterministic per-doc URLs
+    (7 host shapes covering exact-block, subdomain-block, userinfo@,
+    :port, multi-level subdomains, and clean hosts), host/registrable-
+    domain extraction via RE2-safe regexes, and suffix-rule matching as
+    host-suffix explode + broadcast equijoin — never a per-rule
+    endswith scan (O(docs x labels), not O(docs x rules); UT1 is ~4M
+    rules). Quarantine-don't-discard: every row survives with a
+    blocked flag so drop rates are observable."""
+    from featuregenerator_spark.operators.url_filter import filter_blocklisted
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id").repartition(par, "doc_id")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return filter_blocklisted(docs, _URL_BLOCKLIST)
+
+
 def q_kmeans_assign(spark, sf_dir):
     """Distributed Lloyd k-means (k=8, 2 iterations) over the embeddings
     table with bit-reproducible integer arithmetic: milli-unit
@@ -3995,7 +4034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         "config_compiled_temporal": q_config_compiled_temporal,
-        "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         # new in r5: write-side legacy codecs (encode -> decode == id);
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
@@ -4028,6 +4066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: bit-reproducible Lloyd k-means; displaces
         # neardup_ngram_jaccard (r4-green, unchanged this round)
         "kmeans_assign": q_kmeans_assign,
+        # new in r5 session 2: UT1-style domain blocklist; displaces
+        # multimodal_jpeg_decode (r4-green, jpeg.py unchanged this round)
+        "url_domain_filter": q_url_domain_filter,
         "config_compiled_curation": q_config_compiled_curation,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
@@ -4038,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
         "streaming_window_counts": q_streaming_window_counts,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
+        "multimodal_jpeg_decode": q_multimodal_jpeg,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4253,6 +4295,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "url_domain_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' ||
+                     (['ads7.example.com', 'cdn.tracker.net',
+                       'docs.spark.apache.org',
+                       'user:pw@mirror.spam-mill.biz:8080',
+                       'blog.example.com', 'en.wikipedia.org',
+                       'sub.deep.tracker.net']
+                      )[CAST(doc_id % 7 AS INTEGER) + 1]
+                     || '/p/' || doc_id AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(
+                       regexp_extract(url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       '^(?:[^@/]*@)?([^:]+)', 1)) AS host
+              FROM u),
+            hh AS (
+              SELECT doc_id, url, host,
+                     regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+                       AS reg_domain
+              FROM h),
+            sufs AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(string_split(host, '.')) + 1),
+                       i -> array_to_string(
+                              string_split(host, '.')[i:], '.')))
+                       AS suffix
+              FROM hh),
+            hits AS (
+              SELECT DISTINCT doc_id FROM sufs
+              WHERE suffix IN ('ads7.example.com', 'tracker.net',
+                               'spam-mill.biz'))
+            SELECT hh.doc_id, url, host, reg_domain,
+                   (hits.doc_id IS NOT NULL) AS blocked
+            FROM hh LEFT JOIN hits ON hh.doc_id = hits.doc_id""",
         "kmeans_assign": """
             WITH q AS (
               SELECT vec_id,
