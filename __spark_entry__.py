@@ -1725,6 +1725,51 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+_HTML_T0_PRE = (
+    '<html><head><title>T</title><script type="text/javascript">'
+    "var x = 1 < 2;</script></head><body><p>"
+)
+_HTML_T0_POST = (
+    '</p><!-- tracking --><div class="footer">&copy; 2026</div>'
+    "</body></html>"
+)
+_HTML_T1_PRE = "<body><h1>Title!</h1><ul><li>"
+_HTML_T1_POST = (
+    "</li><li>second &amp; third</li></ul><br/>"
+    "<style>p { color: red }</style></body>"
+)
+_HTML_T2_PRE = '<div><p>He said &quot;'
+_HTML_T2_POST = '&quot; &lt;verbatim&gt;</p><script>alert("x");</script></div>'
+
+
+def q_html_extract(spark, sf_dir):
+    """Rule-based HTML main-content extraction over deterministic
+    markup (4 templates: full page with script+comment+footer, list
+    body with style block and entities, entity-quoted paragraph, and
+    bare text that must pass through unchanged). One regexp/replace
+    chain per doc inside whole-stage codegen — script/style/comment
+    removal, block-closers -> newlines, tag strip, entity decode (amp
+    last), line trim — with tag-count audit. The DuckDB oracle runs
+    the identical pattern chain (RE2-safe, lookaround-free)."""
+    from featuregenerator_spark.operators.html_extract import with_html_extract
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    text = F.col("text")
+    html = F.element_at(
+        F.array(
+            F.concat(F.lit(_HTML_T0_PRE), text, F.lit(_HTML_T0_POST)),
+            F.concat(F.lit(_HTML_T1_PRE), text, F.lit(_HTML_T1_POST)),
+            F.concat(F.lit(_HTML_T2_PRE), text, F.lit(_HTML_T2_POST)),
+            text,
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return with_html_extract(
+        docs.select("doc_id", html.alias("html"))
+    ).select("doc_id", "extracted", "n_lines", "n_tags")
+
+
 _URL_HOSTS = (
     "ads7.example.com",
     "cdn.tracker.net",
@@ -4034,7 +4079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         "config_compiled_temporal": q_config_compiled_temporal,
-        "streaming_sessionize_parity": q_streaming_sessionize_parity,
         # new in r5: write-side legacy codecs (encode -> decode == id);
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
@@ -4069,6 +4113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: UT1-style domain blocklist; displaces
         # multimodal_jpeg_decode (r4-green, jpeg.py unchanged this round)
         "url_domain_filter": q_url_domain_filter,
+        # new in r5 session 2: HTML main-content extraction; displaces
+        # streaming_sessionize_parity (r3/r4-green, streaming unchanged)
+        "html_extract": q_html_extract,
         "config_compiled_curation": q_config_compiled_curation,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
@@ -4080,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
+        "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4295,6 +4343,70 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        # composed by concatenation (not f-string: templates contain
+        # literal braces) so the oracle's HTML input is byte-identical
+        # to the Spark query's.
+        "html_extract": (
+            r"""
+            WITH h AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN '"""
+            + _HTML_T0_PRE
+            + "' || text || '"
+            + _HTML_T0_POST
+            + r"""'
+                       WHEN 1 THEN '"""
+            + _HTML_T1_PRE
+            + "' || text || '"
+            + _HTML_T1_POST
+            + r"""'
+                       WHEN 2 THEN '"""
+            + _HTML_T2_PRE
+            + "' || text || '"
+            + _HTML_T2_POST
+            + r"""'
+                       ELSE text END AS html
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, html,
+                     regexp_replace(regexp_replace(regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                       '(?s)<!--.*?-->', '', 'g') AS t
+              FROM h),
+            s2 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '(?s)<[^>]*>'))
+                     + len(regexp_extract_all(html,
+                         '(?is)<script[^>]*>.*?</script>'))
+                     + len(regexp_extract_all(html,
+                         '(?is)<style[^>]*>.*?</style>'))
+                     + len(regexp_extract_all(html, '(?s)<!--.*?-->'))
+                       AS n_tags,
+                     regexp_replace(regexp_replace(t,
+                       '(?i)</(?:p|div|li|h[1-6]|ul|ol|tr|table)>|<br[^>]*>',
+                       chr(10), 'g'),
+                       '(?s)<[^>]*>', '', 'g') AS t2
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_tags,
+                     replace(replace(replace(replace(replace(replace(t2,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')
+                       AS t3
+              FROM s2),
+            s4 AS (
+              SELECT doc_id, n_tags,
+                     list_filter(list_transform(string_split(t3, chr(10)),
+                       l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
+                       l -> l <> '') AS lines
+              FROM s3)
+            SELECT doc_id, array_to_string(lines, chr(10)) AS extracted,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(n_tags AS BIGINT) AS n_tags
+            FROM s4"""
+        ),
         "url_domain_filter": """
             WITH u AS (
               SELECT doc_id,
