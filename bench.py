@@ -343,6 +343,7 @@ def main() -> None:
     session7: dict[str, float] = {}
     layout_ops: dict[str, float] = {}
     snapshot_ops: dict[str, float] = {}
+    retrieval_ops: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -450,6 +451,22 @@ def main() -> None:
             ),
         )
 
+        # retrieval/curation-front-end family (round 5 session 2): BM25
+        # corpus search, bit-reproducible Lloyd k-means over the
+        # embeddings table, the UT1-style domain-blocklist audit, and
+        # rule-based HTML main-content extraction — non-headline like
+        # the other post-r2 families.
+        retrieval_ops = _time_family(
+            qmap,
+            spark,
+            (
+                "bm25_topk",
+                "kmeans_assign",
+                "url_domain_filter",
+                "html_extract",
+            ),
+        )
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -477,6 +494,7 @@ def main() -> None:
                 "session7_ops": session7,
                 "layout_ops": layout_ops,
                 "snapshot_ops": snapshot_ops,
+                "retrieval_ops": retrieval_ops,
                 "curation": curation,
             }
         )
