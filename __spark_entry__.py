@@ -1725,6 +1725,59 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_target_encode_pit(spark, sf_dir):
+    """Leakage-safe target encoding of event_type against value: both
+    the per-category statistic and the global smoothing prior are
+    strictly-prior window frames under the unique (ts, event_id) order
+    — the row never sees its own target or its future (the same as-of
+    discipline as the snapshot join). Targets quantize to exact long
+    micro-units so every running sum is order-independent; the global
+    prior leg runs as a two-level distributed prefix sum chunked by
+    event date (within-day frames parallel by day + a #days-row prefix
+    table broadcast back), never a single-partition global sort. The
+    oracle computes the global frame directly — the gate proves
+    chunked == global."""
+    from featuregenerator_spark.operators.feature_encoding import (
+        target_encode_pit,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(par, "event_id")
+        .withColumn("ds", F.to_date("ts"))
+    )
+    out = target_encode_pit(
+        ev,
+        cat_col="event_type",
+        target_col="value",
+        order_cols=("ts", "event_id"),
+        smoothing=20,
+        chunk_col="ds",
+    )
+    return out.select("event_id", "event_type", "te")
+
+
+def q_quantile_bins(spark, sf_dir):
+    """Data-driven quantile binning: bucket edges learned at the
+    quartiles of a declarative train split (event_id % 10 < 8), applied
+    to every event as a broadcast one-row cross join + an edge-array
+    fold in codegen (no join per edge, no UDF). Spark `percentile` ==
+    DuckDB `quantile_cont` bit-for-bit (pinned by the sketch battery),
+    so the learned edges — and therefore every bin index — gate-check
+    exactly. The upstream stage that produces raw_feature/bucketize's
+    pre-computed bounds at corpus scale."""
+    from featuregenerator_spark.operators.feature_encoding import quantile_bins
+
+    par = spark.sparkContext.defaultParallelism
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    train = ev.filter(F.col("event_id") % 10 < 8)
+    return quantile_bins(
+        train, ev.repartition(par, "event_id"), "value"
+    ).select("event_id", "value", "bin")
+
+
 _HTML_T0_PRE = (
     '<html><head><title>T</title><script type="text/javascript">'
     "var x = 1 < 2;</script></head><body><p>"
@@ -4116,9 +4169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: HTML main-content extraction; displaces
         # streaming_sessionize_parity (r3/r4-green, streaming unchanged)
         "html_extract": q_html_extract,
+        # new in r5 session 2: leakage-safe target encoding (gate proves
+        # chunked-prefix-sum == global frame); displaces
+        # substring_dup_coverage (r4-green, substring_dedup.py unchanged)
+        "target_encode_pit": q_target_encode_pit,
+        # new in r5 session 2: data-driven quantile binning; displaces
+        # substring_dup_trim (r4-green, substring_dedup.py unchanged)
+        "quantile_bins": q_quantile_bins,
         "config_compiled_curation": q_config_compiled_curation,
-        "substring_dup_coverage": q_substring_dup_coverage,
-        "substring_dup_trim": q_substring_dup_trim,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
         "dedup_cc_cosine": q_dedup_cc_cosine,
@@ -4128,6 +4186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
+        "substring_dup_coverage": q_substring_dup_coverage,
+        "substring_dup_trim": q_substring_dup_trim,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4343,6 +4403,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "target_encode_pit": """
+            WITH t AS (
+              SELECT event_id, ts, event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS tm
+              FROM events),
+            w AS (
+              SELECT event_id, event_type,
+                     sum(tm) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS sum_cat,
+                     count(*) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS cnt_cat,
+                     sum(tm) OVER (ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS sum_all,
+                     count(*) OVER (ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS cnt_all
+              FROM t)
+            SELECT event_id, event_type,
+                   CASE WHEN cnt_all > 0 THEN
+                     (CAST(COALESCE(sum_cat, 0) AS DOUBLE) / 1000000
+                      + 20 * (CAST(sum_all AS DOUBLE) / cnt_all
+                              / 1000000))
+                     / (COALESCE(cnt_cat, 0) + 20)
+                   END AS te
+            FROM w""",
+        "quantile_bins": """
+            WITH tr AS (
+              SELECT value FROM events WHERE event_id % 10 < 8),
+            e AS (SELECT quantile_cont(value, 0.25) AS e1,
+                         quantile_cont(value, 0.5) AS e2,
+                         quantile_cont(value, 0.75) AS e3
+                  FROM tr)
+            SELECT event_id, value,
+                   CAST((CASE WHEN value > e1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN value > e2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN value > e3 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS bin
+            FROM events, e""",
         # composed by concatenation (not f-string: templates contain
         # literal braces) so the oracle's HTML input is byte-identical
         # to the Spark query's.

@@ -344,6 +344,7 @@ def main() -> None:
     layout_ops: dict[str, float] = {}
     snapshot_ops: dict[str, float] = {}
     retrieval_ops: dict[str, float] = {}
+    encoding_ops: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         skew = run_skew_stress(spark)
         # the deliberately-pathological mega legs stay out of the headline
@@ -467,6 +468,15 @@ def main() -> None:
             ),
         )
 
+        # feature-encoding family (round 5 session 2): leakage-safe
+        # target encoding (chunked distributed prefix sum) and
+        # data-driven quantile binning — non-headline.
+        encoding_ops = _time_family(
+            qmap,
+            spark,
+            ("target_encode_pit", "quantile_bins"),
+        )
+
     curation: dict[str, float] = {}
     if "--pipeline-only" not in sys.argv:
         curation = run_curation(spark, cores)
@@ -495,6 +505,7 @@ def main() -> None:
                 "layout_ops": layout_ops,
                 "snapshot_ops": snapshot_ops,
                 "retrieval_ops": retrieval_ops,
+                "encoding_ops": encoding_ops,
                 "curation": curation,
             }
         )
