@@ -1725,6 +1725,81 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Relational BPE tokenizer training: 3 byte-pair merges learned on
+    the corpus word-frequency table (argmax pair under the exact
+    (count DESC, left, right) order, kept as a broadcast one-row
+    DataFrame — no collect), each applied with greedy left-to-right
+    non-overlapping semantics via gaps-and-islands windows; output =
+    every distinct word tokenized under the learned merges. The oracle
+    unrolls all 3 rounds as CTEs — counts are exact longs and string
+    compares binary, so the entire iterative computation (argmax
+    choices included) reproduces bit-for-bit."""
+    from featuregenerator_spark.operators.bpe import bpe_train_tokenize
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("text").repartition(par)
+    return bpe_train_tokenize(docs, rounds=3)
+
+
+def _build_bpe_oracle(rounds: int) -> str:
+    """The bpe_train_tokenize computation as unrolled DuckDB CTEs —
+    generated so every round is textually identical (same operator
+    chain the Spark plan builds per round)."""
+    parts = [
+        """
+            WITH wf AS (
+              SELECT w, count(*) AS wc FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents) WHERE w <> '' GROUP BY w),
+            t1 AS (
+              SELECT w, wc, generate_subscripts(cs, 1) AS pos,
+                     unnest(cs) AS tok
+              FROM (SELECT w, wc, string_split(w, '') AS cs FROM wf))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+            p{r} AS (
+              SELECT w, wc, pos, tok,
+                     lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+              FROM t{r}),
+            b{r} AS (
+              SELECT tok AS l, nxt AS r FROM p{r} WHERE nxt IS NOT NULL
+              GROUP BY tok, nxt
+              ORDER BY sum(wc) DESC, tok ASC, nxt ASC LIMIT 1),
+            m{r} AS (
+              SELECT p.w, p.wc, p.pos, p.tok, b.l, b.r,
+                     (p.tok = b.l AND p.nxt = b.r) AS match
+              FROM p{r} p CROSS JOIN b{r} b),
+            g{r} AS (
+              SELECT *, CASE WHEN match THEN pos - cum END AS grp
+              FROM (SELECT *, sum(CASE WHEN match THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY w ORDER BY pos) AS cum
+                    FROM m{r})),
+            x{r} AS (
+              SELECT *, (match AND (pos - island_start) % 2 = 0) AS sel
+              FROM (SELECT *, min(CASE WHEN match THEN pos END)
+                             OVER (PARTITION BY w, grp) AS island_start
+                    FROM g{r})),
+            t{r + 1} AS (
+              SELECT w, wc,
+                     row_number() OVER (PARTITION BY w ORDER BY pos)
+                       AS pos,
+                     CASE WHEN sel THEN l || r ELSE tok END AS tok
+              FROM (SELECT *, lag(sel) OVER (PARTITION BY w
+                                             ORDER BY pos) AS absorbed
+                    FROM x{r})
+              WHERE absorbed IS NULL OR NOT absorbed)"""
+        )
+    parts.append(
+        f"""
+            SELECT w, wc, list(tok ORDER BY pos) AS toks
+            FROM t{rounds + 1} GROUP BY w, wc"""
+    )
+    return "".join(parts)
+
+
 def q_target_encode_pit(spark, sf_dir):
     """Leakage-safe target encoding of event_type against value: both
     the per-category statistic and the global smoothing prior are
@@ -4136,7 +4211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
         "quality_gopher_rules": q_quality_gopher_rules,
-        "quality_top_ngram": q_quality_top_ngram,
         # new in r5: 3-key Morton interleave; displaces
         # multimodal_png_decode (r4-green, png.py unchanged this round)
         "zorder_key3": q_zorder_key3,
@@ -4176,6 +4250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: data-driven quantile binning; displaces
         # substring_dup_trim (r4-green, substring_dedup.py unchanged)
         "quantile_bins": q_quantile_bins,
+        # new in r5 session 2: relational BPE tokenizer training;
+        # displaces quality_top_ngram (r4-green, unchanged this round)
+        "bpe_train": q_bpe_train,
         "config_compiled_curation": q_config_compiled_curation,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
@@ -4188,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
+        "quality_top_ngram": q_quality_top_ngram,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4403,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket,
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
+        "bpe_train": _build_bpe_oracle(3),
         "target_encode_pit": """
             WITH t AS (
               SELECT event_id, ts, event_type,

@@ -469,12 +469,13 @@ def main() -> None:
         )
 
         # feature-encoding family (round 5 session 2): leakage-safe
-        # target encoding (chunked distributed prefix sum) and
-        # data-driven quantile binning — non-headline.
+        # target encoding (chunked distributed prefix sum), data-driven
+        # quantile binning, and relational BPE tokenizer training —
+        # non-headline.
         encoding_ops = _time_family(
             qmap,
             spark,
-            ("target_encode_pit", "quantile_bins"),
+            ("target_encode_pit", "quantile_bins", "bpe_train"),
         )
 
     curation: dict[str, float] = {}
