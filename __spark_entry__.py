@@ -1725,6 +1725,28 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Per-category PSI feature-drift monitor between two declarative
+    event windows (reference = event_id % 3 != 0, current = the rest):
+    bins from the reference window's per-category quintile edges
+    (percentile == quantile_cont, pinned), standard eps smoothing for
+    empty bins, per-bin terms quantized to nano-units before the
+    per-category sum (exact long adds). Only the percentile agg and two
+    binned counts touch the corpus; everything after is
+    (category x bins)-sized."""
+    from featuregenerator_spark.operators.feature_encoding import psi_drift
+
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(par, "event_id")
+    )
+    ref = ev.filter(F.col("event_id") % 3 != 0)
+    cur = ev.filter(F.col("event_id") % 3 == 0)
+    return psi_drift(ref, cur, "value", "event_type")
+
+
 def q_bpe_train(spark, sf_dir):
     """Relational BPE tokenizer training: 3 byte-pair merges learned on
     the corpus word-frequency table (argmax pair under the exact
@@ -4210,7 +4232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5: write-side legacy codecs (encode -> decode == id);
         # displaces multimodal_jpeg_color_decode (r4-green, unchanged)
         "legacy_encode_roundtrip": q_legacy_encode_roundtrip,
-        "quality_gopher_rules": q_quality_gopher_rules,
         # new in r5: 3-key Morton interleave; displaces
         # multimodal_png_decode (r4-green, png.py unchanged this round)
         "zorder_key3": q_zorder_key3,
@@ -4253,6 +4274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: relational BPE tokenizer training;
         # displaces quality_top_ngram (r4-green, unchanged this round)
         "bpe_train": q_bpe_train,
+        # new in r5 session 2: PSI feature-drift monitor; displaces
+        # quality_gopher_rules (r4-green, quality_rules.py unchanged)
+        "psi_drift": q_psi_drift,
         "config_compiled_curation": q_config_compiled_curation,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
@@ -4266,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_coverage": q_substring_dup_coverage,
         "substring_dup_trim": q_substring_dup_trim,
         "quality_top_ngram": q_quality_top_ngram,
+        "quality_gopher_rules": q_quality_gopher_rules,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4482,6 +4507,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
         "bpe_train": _build_bpe_oracle(3),
+        "psi_drift": """
+            WITH ref AS (SELECT event_type, value FROM events
+                         WHERE event_id % 3 <> 0),
+            cur AS (SELECT event_type, value FROM events
+                    WHERE event_id % 3 = 0),
+            e AS (SELECT event_type,
+                         quantile_cont(value, 0.2) AS e1,
+                         quantile_cont(value, 0.4) AS e2,
+                         quantile_cont(value, 0.6) AS e3,
+                         quantile_cont(value, 0.8) AS e4
+                  FROM ref GROUP BY event_type),
+            br AS (SELECT r.event_type,
+                          (CASE WHEN value > e1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e3 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e4 THEN 1 ELSE 0 END)
+                            AS bin
+                   FROM ref r JOIN e USING (event_type)),
+            bc AS (SELECT c.event_type,
+                          (CASE WHEN value > e1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e3 THEN 1 ELSE 0 END)
+                          + (CASE WHEN value > e4 THEN 1 ELSE 0 END)
+                            AS bin
+                   FROM cur c JOIN e USING (event_type)),
+            cr AS (SELECT event_type, bin, count(*) AS n_ref
+                   FROM br GROUP BY event_type, bin),
+            cc AS (SELECT event_type, bin, count(*) AS n_cur
+                   FROM bc GROUP BY event_type, bin),
+            tr AS (SELECT event_type, count(*) AS t_ref
+                   FROM br GROUP BY event_type),
+            tc AS (SELECT event_type, count(*) AS t_cur
+                   FROM bc GROUP BY event_type),
+            sc AS (SELECT event_type, unnest(range(0, 5)) AS bin FROM e),
+            j AS (SELECT sc.event_type, sc.bin,
+                         greatest(CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                                  / t_ref, 1e-6) AS p,
+                         greatest(CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                                  / t_cur, 1e-6) AS q
+                  FROM sc LEFT JOIN cr USING (event_type, bin)
+                          LEFT JOIN cc USING (event_type, bin)
+                          JOIN tr USING (event_type)
+                          JOIN tc USING (event_type))
+            SELECT event_type,
+                   sum(CAST(round((p - q) * ln(p / q) * 1000000000.0)
+                            AS BIGINT)) / 1000000000.0 AS psi
+            FROM j GROUP BY event_type""",
         "target_encode_pit": """
             WITH t AS (
               SELECT event_id, ts, event_type,

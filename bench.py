@@ -475,7 +475,7 @@ def main() -> None:
         encoding_ops = _time_family(
             qmap,
             spark,
-            ("target_encode_pit", "quantile_bins", "bpe_train"),
+            ("target_encode_pit", "quantile_bins", "bpe_train", "psi_drift"),
         )
 
     curation: dict[str, float] = {}

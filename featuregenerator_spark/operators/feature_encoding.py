@@ -145,6 +145,97 @@ def target_encode_pit(
     ).drop(tm_col, "_sum_all", "_cnt_all", "_psum", "_pcnt")
 
 
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    cat_col: str,
+    probs: Sequence[float] = (0.2, 0.4, 0.6, 0.8),
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per category between a reference and
+    a current window — the standard feature-drift monitor
+    (psi < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted):
+
+        psi = sum over bins of (p_bin - q_bin) * ln(p_bin / q_bin)
+
+    Bins are learned from the REFERENCE window's per-category
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    pinned); zero-count bins clamp to ``eps`` (the standard smoothing,
+    deterministic in both engines). Proportions are exact-integer
+    divisions; each bin term quantizes to nano-units before the
+    per-category sum (exact long adds — the order-independence contract
+    of this module). Categories absent from the reference window have
+    no edges and are dropped — monitoring needs a baseline.
+
+    Scale shape: the only corpus-sized work is the percentile agg and
+    the two binned groupBy counts (map-side combined); everything after
+    is (category x bins)-sized. Returns (cat_col, psi).
+    """
+    n_bins = len(probs) + 1
+    edges = ref.groupBy(cat_col).agg(
+        F.array(
+            *[F.percentile(F.col(value_col), F.lit(p)) for p in probs]
+        ).alias("edges")
+    )
+    v = F.col(value_col).cast("double")
+    bin_idx = F.aggregate(
+        F.col("edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
+    ).alias("bin")
+
+    def _counts(df, name):
+        return (
+            df.join(F.broadcast(edges), cat_col)
+            .select(F.col(cat_col), bin_idx)
+            .groupBy(cat_col, "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cr, cc = _counts(ref, "n_ref"), _counts(cur, "n_cur")
+    scaffold = edges.select(
+        cat_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    tot_r = ref.join(F.broadcast(edges.select(cat_col)), cat_col).groupBy(
+        cat_col
+    ).agg(F.count(F.lit(1)).alias("t_ref"))
+    tot_c = cur.join(F.broadcast(edges.select(cat_col)), cat_col).groupBy(
+        cat_col
+    ).agg(F.count(F.lit(1)).alias("t_cur"))
+    j = (
+        scaffold.join(cr, [cat_col, "bin"], "left")
+        .join(cc, [cat_col, "bin"], "left")
+        .join(tot_r, cat_col)
+        .join(tot_c, cat_col)
+        .withColumn(
+            "p",
+            F.greatest(
+                F.coalesce(F.col("n_ref"), F.lit(0)).cast("double")
+                / F.col("t_ref"),
+                F.lit(eps),
+            ),
+        )
+        .withColumn(
+            "q",
+            F.greatest(
+                F.coalesce(F.col("n_cur"), F.lit(0)).cast("double")
+                / F.col("t_cur"),
+                F.lit(eps),
+            ),
+        )
+    )
+    term_nano = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1e9, 0
+    ).cast("long")
+    return (
+        j.groupBy(cat_col)
+        .agg(F.sum(term_nano).alias("nano"))
+        .select(cat_col, (F.col("nano") / 1e9).alias("psi"))
+    )
+
+
 def quantile_bins(
     train: DataFrame,
     apply_to: DataFrame,
