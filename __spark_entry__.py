@@ -1725,6 +1725,18 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Per-doc token counts under the 3-merge BPE vocab learned on the
+    same corpus — train + apply composed in one plan; the apply path is
+    a broadcast vocab lookup (never a per-doc re-merge). Oracle = the
+    unrolled training CTEs joined back to the document word stream."""
+    from featuregenerator_spark.operators.bpe import bpe_token_counts
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    return bpe_token_counts(docs, rounds=3)
+
+
 def q_psi_drift(spark, sf_dir):
     """Per-category PSI feature-drift monitor between two declarative
     event windows (reference = event_id % 3 != 0, current = the rest):
@@ -1764,10 +1776,11 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train_tokenize(docs, rounds=3)
 
 
-def _build_bpe_oracle(rounds: int) -> str:
+def _build_bpe_oracle(rounds: int, final: str | None = None) -> str:
     """The bpe_train_tokenize computation as unrolled DuckDB CTEs —
     generated so every round is textually identical (same operator
-    chain the Spark plan builds per round)."""
+    chain the Spark plan builds per round). ``final`` overrides the
+    closing SELECT (used by bpe_token_count's apply composition)."""
     parts = [
         """
             WITH wf AS (
@@ -1815,11 +1828,23 @@ def _build_bpe_oracle(rounds: int) -> str:
               WHERE absorbed IS NULL OR NOT absorbed)"""
         )
     parts.append(
-        f"""
+        final
+        if final is not None
+        else f"""
             SELECT w, wc, list(tok ORDER BY pos) AS toks
             FROM t{rounds + 1} GROUP BY w, wc"""
     )
     return "".join(parts)
+
+
+_BPE_COUNT_FINAL = """,
+            v AS (SELECT w, count(*) AS n_tok
+                  FROM t4 GROUP BY w),
+            dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+            SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM dw JOIN v USING (w) WHERE w <> ''
+            GROUP BY doc_id"""
 
 
 def q_target_encode_pit(spark, sf_dir):
@@ -4225,7 +4250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
-        "asof_snapshot_auto": q_asof_snapshot_auto,
         "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         "config_compiled_temporal": q_config_compiled_temporal,
@@ -4277,6 +4301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: PSI feature-drift monitor; displaces
         # quality_gopher_rules (r4-green, quality_rules.py unchanged)
         "psi_drift": q_psi_drift,
+        # new in r5 session 2: BPE train+apply token counts; displaces
+        # asof_snapshot_auto (r4-green, plans/skew.py unchanged)
+        "bpe_token_count": q_bpe_token_count,
         "config_compiled_curation": q_config_compiled_curation,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
@@ -4291,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_trim": q_substring_dup_trim,
         "quality_top_ngram": q_quality_top_ngram,
         "quality_gopher_rules": q_quality_gopher_rules,
+        "asof_snapshot_auto": q_asof_snapshot_auto,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4507,6 +4535,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(lp <= 3.42, FALSE) AS INTEGER) AS keep
             FROM documents d LEFT JOIN b USING (doc_id)""",
         "bpe_train": _build_bpe_oracle(3),
+        "bpe_token_count": _build_bpe_oracle(3, final=_BPE_COUNT_FINAL),
         "psi_drift": """
             WITH ref AS (SELECT event_type, value FROM events
                          WHERE event_id % 3 <> 0),

@@ -475,7 +475,13 @@ def main() -> None:
         encoding_ops = _time_family(
             qmap,
             spark,
-            ("target_encode_pit", "quantile_bins", "bpe_train", "psi_drift"),
+            (
+                "target_encode_pit",
+                "quantile_bins",
+                "bpe_train",
+                "psi_drift",
+                "bpe_token_count",
+            ),
         )
 
     curation: dict[str, float] = {}

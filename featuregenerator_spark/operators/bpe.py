@@ -106,6 +106,32 @@ def _merge_round(toks: DataFrame) -> DataFrame:
     )
 
 
+def bpe_token_counts(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under the learned BPE merges — the real
+    token-counting op (text_analysis.token_count approximates with a
+    regex pre-tokenizer; this one uses the trained vocab). The apply
+    path is a broadcast join of the document word stream against the
+    vocabulary's tokenization (vocabulary-sized — at corpus scale this
+    is THE reason BPE applies as a lookup, not a re-merge per doc), then
+    one map-side-combined sum of per-word token counts."""
+    vocab = bpe_train_tokenize(docs, rounds, text_col).select(
+        "w", F.size("toks").alias("n_tok")
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+
+
 def bpe_train_tokenize(
     docs: DataFrame, rounds: int = 3, text_col: str = "text"
 ) -> DataFrame:

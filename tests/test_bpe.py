@@ -3,7 +3,10 @@ frequency weighting, multi-round composition."""
 
 import pytest
 
-from featuregenerator_spark.operators.bpe import bpe_train_tokenize
+from featuregenerator_spark.operators.bpe import (
+    bpe_token_counts,
+    bpe_train_tokenize,
+)
 
 
 def _docs(spark, texts):
@@ -58,3 +61,16 @@ def test_short_words_survive(spark):
     out = _tok(spark, ["a a ab"], rounds=1)
     # single-char word has no pairs; stays a 1-token word
     assert out["a"] == (2, ["a"])
+
+
+def test_token_counts_apply_learned_vocab(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, rounds=1).collect()
+    }
+    # round 1 merges (a,b): doc0 = ab(1) + ab(1) + cd(2) = 4;
+    # doc1 = ab(1) + x(1) = 2
+    assert got == {0: 4, 1: 2}
