@@ -1725,6 +1725,26 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_psi_drift_cat(spark, sf_dir):
+    """Categorical-distribution PSI: language-mix drift between two
+    declarative document windows. Categories are their own bins, the
+    category set is the union of both windows (absent side clamps to
+    eps — new/vanished languages contribute large finite terms), one
+    row per category with shares and its nano-quantized PSI term.
+    Two map-side-combined counts; everything after is category-sized."""
+    from featuregenerator_spark.operators.feature_encoding import (
+        psi_drift_categorical,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).select("doc_id", "lang").repartition(
+        par, "doc_id"
+    )
+    ref = docs.filter(F.col("doc_id") % 3 != 0).select("lang")
+    cur = docs.filter(F.col("doc_id") % 3 == 0).select("lang")
+    return psi_drift_categorical(ref, cur, "lang")
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Per-doc token counts under the 3-merge BPE vocab learned on the
     same corpus — train + apply composed in one plan; the apply path is
@@ -4250,7 +4270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_cc_incremental": q_dedup_cc_incremental,
-        "backfill_purchase_auto": q_backfill_purchase_auto,
         "dedup_cc_incremental_lsh": q_dedup_cc_incremental_lsh,
         "config_compiled_temporal": q_config_compiled_temporal,
         # new in r5: write-side legacy codecs (encode -> decode == id);
@@ -4304,6 +4323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: BPE train+apply token counts; displaces
         # asof_snapshot_auto (r4-green, plans/skew.py unchanged)
         "bpe_token_count": q_bpe_token_count,
+        # new in r5 session 2: categorical-distribution PSI; displaces
+        # backfill_purchase_auto (r4-green, plans/skew.py unchanged)
+        "psi_drift_cat": q_psi_drift_cat,
         "config_compiled_curation": q_config_compiled_curation,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
@@ -4319,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_ngram": q_quality_top_ngram,
         "quality_gopher_rules": q_quality_gopher_rules,
         "asof_snapshot_auto": q_asof_snapshot_auto,
+        "backfill_purchase_auto": q_backfill_purchase_auto,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4536,6 +4559,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN b USING (doc_id)""",
         "bpe_train": _build_bpe_oracle(3),
         "bpe_token_count": _build_bpe_oracle(3, final=_BPE_COUNT_FINAL),
+        "psi_drift_cat": """
+            WITH ref AS (SELECT lang FROM documents
+                         WHERE doc_id % 3 <> 0),
+            cur AS (SELECT lang FROM documents WHERE doc_id % 3 = 0),
+            cr AS (SELECT lang, count(*) AS n_ref FROM ref
+                   GROUP BY lang),
+            cc AS (SELECT lang, count(*) AS n_cur FROM cur
+                   GROUP BY lang),
+            tr AS (SELECT count(*) AS t_ref FROM ref),
+            tc AS (SELECT count(*) AS t_cur FROM cur),
+            j AS (
+              SELECT lang,
+                     greatest(CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                              / t_ref, 1e-6) AS p,
+                     greatest(CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                              / t_cur, 1e-6) AS q
+              FROM cr FULL JOIN cc USING (lang), tr, tc)
+            SELECT lang, p, q,
+                   CAST(round((p - q) * ln(p / q) * 1000000000.0)
+                        AS BIGINT) / 1000000000.0 AS term
+            FROM j""",
         "psi_drift": """
             WITH ref AS (SELECT event_type, value FROM events
                          WHERE event_id % 3 <> 0),

@@ -236,6 +236,60 @@ def psi_drift(
     )
 
 
+def psi_drift_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a CATEGORICAL column's distribution (role mix, source
+    mix, event-type mix) — no binning: categories are their own bins.
+    The category set is the UNION of both windows (a category absent
+    from one side clamps to ``eps``, the standard smoothing, so new or
+    vanished categories contribute large finite terms instead of
+    infinities). Returns one row per category with its share in each
+    window and its PSI term — the total is the exact sum of ``term``
+    (each term is nano-quantized, so the sum is order-independent).
+
+    Scale shape: two map-side-combined counts; everything after is
+    category-sized.
+    """
+    cr = ref.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_ref"))
+    cc = cur.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n_cur"))
+    tr = ref.agg(F.count(F.lit(1)).alias("t_ref"))
+    tc = cur.agg(F.count(F.lit(1)).alias("t_cur"))
+    j = (
+        cr.join(cc, cat_col, "full")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+        .withColumn(
+            "p",
+            F.greatest(
+                F.coalesce(F.col("n_ref"), F.lit(0)).cast("double")
+                / F.col("t_ref"),
+                F.lit(eps),
+            ),
+        )
+        .withColumn(
+            "q",
+            F.greatest(
+                F.coalesce(F.col("n_cur"), F.lit(0)).cast("double")
+                / F.col("t_cur"),
+                F.lit(eps),
+            ),
+        )
+    )
+    term_nano = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1e9, 0
+    ).cast("long")
+    return j.select(
+        cat_col,
+        "p",
+        "q",
+        (term_nano / 1e9).alias("term"),
+    )
+
+
 def quantile_bins(
     train: DataFrame,
     apply_to: DataFrame,

@@ -47,6 +47,32 @@ def test_category_without_baseline_dropped(spark):
     assert cats == {"a"}  # 'b' has no reference edges -> no monitoring
 
 
+def test_categorical_union_and_terms(spark):
+    from featuregenerator_spark.operators.feature_encoding import (
+        psi_drift_categorical,
+    )
+
+    ref = spark.createDataFrame(
+        [("en",)] * 8 + [("de",)] * 2, "lang string"
+    )
+    cur = spark.createDataFrame(
+        [("en",)] * 5 + [("fr",)] * 5, "lang string"
+    )
+    out = {
+        r["lang"]: (r["p"], r["q"], r["term"])
+        for r in psi_drift_categorical(ref, cur, "lang").collect()
+    }
+    assert set(out) == {"en", "de", "fr"}  # union of both windows
+    p, q, term = out["en"]
+    assert (p, q) == (0.8, 0.5)
+    assert term == pytest.approx((0.8 - 0.5) * math.log(0.8 / 0.5), abs=2e-9)
+    # vanished category: q clamps to eps -> large positive finite term
+    assert out["de"][1] == 1e-6 and math.isfinite(out["de"][2])
+    assert out["de"][2] > 1.0
+    # new category: p clamps to eps
+    assert out["fr"][0] == 1e-6 and out["fr"][2] > 1.0
+
+
 def test_empty_bin_eps_smoothing_finite(spark):
     ref = _df(spark, [("a", float(v)) for v in range(1, 101)])
     cur = _df(spark, [("a", 50.0)] * 10)  # all mass in one bin
