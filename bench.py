@@ -480,6 +480,7 @@ def main() -> None:
                 "quantile_bins",
                 "bpe_train",
                 "psi_drift",
+                "psi_drift_cat",
                 "bpe_token_count",
             ),
         )
