@@ -30,7 +30,9 @@ lineage).
 Scale shape: assignment is a broadcast nested-loop over k centroid rows
 (n*k fold evaluations inside whole-stage codegen, the k-means lower
 bound); the update is ONE posexplode + map-side-combined groupBy per
-iteration, shuffling k*d long rows. No driver-side collect anywhere —
+iteration, shuffling k*d long rows — the quantized vector rides through
+the argmin aggregation, so the update needs NO join back to the input
+(plan-pinned: zero SortMergeJoins). No driver-side collect anywhere —
 centroids stay a DataFrame and re-broadcast each iteration. Iterations
 unroll into one lazy plan (iters is small by contract; for iters > ~5,
 checkpoint between rounds like dedup_cluster.py does).
@@ -96,23 +98,34 @@ def kmeans_assign(
         scored = pairs.select(
             F.col(id_col),
             "cid",
+            "qv",
             _sqdist(F.col("qv"), F.col("cv")).alias("d"),
         )
         # min(struct) folds (dist, cid) lexicographically: nearest
         # centroid, ties to the smallest cluster id — exact on longs.
+        # qv rides through the argmin via first(): every one of the k
+        # copies per id is the SAME array (one q row crossed with k
+        # centroids), so first() is value-deterministic — and the
+        # update step below then needs NO join back to q (which would
+        # be a corpus x corpus SortMergeJoin + two Exchanges per
+        # iteration).
         assign = (
             scored.groupBy(id_col)
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .agg(
+                F.min(F.struct("d", "cid")).alias("m"),
+                F.first("qv").alias("qv"),
+            )
             .select(
                 F.col(id_col),
                 F.col("m.cid").alias("cluster"),
                 F.col("m.d").alias("dist_sq"),
+                "qv",
             )
         )
         if it < iters - 1:
-            ex = q.join(
-                assign.select(id_col, "cluster"), id_col
-            ).select("cluster", F.posexplode("qv").alias("pos", "val"))
+            ex = assign.select(
+                "cluster", F.posexplode("qv").alias("pos", "val")
+            )
             dims = ex.groupBy("cluster", "pos").agg(
                 F.round(
                     F.sum("val").cast("double") / F.count(F.lit(1)), 0
@@ -126,4 +139,4 @@ def kmeans_assign(
                     lambda s: s["cval"],
                 ).alias("cv")
             ).select(F.col("cluster").alias("cid"), "cv")
-    return assign
+    return assign.select(id_col, "cluster", "dist_sq")

@@ -81,10 +81,20 @@ def bm25_topk(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
 
+    # dl rides the hit stream (computed BEFORE the explode, carried on
+    # each query-hit row) instead of joining the lens table back on
+    # doc_id — that join would be a corpus x corpus SortMergeJoin with
+    # its own Exchange; carrying the value costs one long on a
+    # query-vocabulary-sized stream. It is functionally dependent on
+    # the doc id, so adding it to the grouping keys changes nothing.
     hits = toks.select(
-        F.col(id_col), F.explode("toks").alias("term")
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
     ).filter(F.array_contains(qarr, F.col("term")))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(
@@ -97,7 +107,6 @@ def bm25_topk(
     contrib_micro = F.round(idf * tf_part * 1e6, 0).cast("long")
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(contrib_micro).alias("micro"))

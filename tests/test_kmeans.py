@@ -90,6 +90,21 @@ def test_kmeans_empty_cluster_drops(spark):
     assert {r["cluster"] for r in out} == {0}
 
 
+def test_kmeans_centroids_broadcast_not_shuffled(spark):
+    """Assignment must be a broadcast nested-loop over the k centroid
+    rows — the big embeddings side must never shuffle for the pairing
+    (its only Exchanges are the update-side groupBys)."""
+    rows = [
+        (i, [float((i * 13 + d) % 7) for d in range(4)]) for i in range(40)
+    ]
+    plan = (
+        kmeans_assign(_mk(spark, rows), k=4, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_quantize_is_exact_longs(spark):
     df = spark.createDataFrame(
         [(0, [0.123, -0.9995, 1.0])], "vec_id long, embedding array<float>"

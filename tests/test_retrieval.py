@@ -78,6 +78,9 @@ def test_bm25_rank_ordering_deterministic(spark, docs):
 
 def test_bm25_topk_plan_is_take_ordered(spark, docs):
     """Global top-k must be TakeOrderedAndProject (per-partition partial
-    top-k), not a single-partition global-window sort."""
+    top-k), not a single-partition global-window sort; the df table
+    joins back as a broadcast (vocabulary-sized), never a sort-merge."""
     plan = bm25_topk(docs, ("spark",), k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
