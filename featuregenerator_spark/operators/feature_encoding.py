@@ -198,12 +198,11 @@ def psi_drift(
         cat_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
     )
-    tot_r = ref.join(F.broadcast(edges.select(cat_col)), cat_col).groupBy(
-        cat_col
-    ).agg(F.count(F.lit(1)).alias("t_ref"))
-    tot_c = cur.join(F.broadcast(edges.select(cat_col)), cat_col).groupBy(
-        cat_col
-    ).agg(F.count(F.lit(1)).alias("t_cur"))
+    # per-category totals are the EXACT sums of the bin counts (every
+    # row lands in exactly one bin) — derived from the tiny count
+    # tables, never a second corpus scan.
+    tot_r = cr.groupBy(cat_col).agg(F.sum("n_ref").alias("t_ref"))
+    tot_c = cc.groupBy(cat_col).agg(F.sum("n_cur").alias("t_cur"))
     j = (
         scaffold.join(cr, [cat_col, "bin"], "left")
         .join(cc, [cat_col, "bin"], "left")

@@ -87,21 +87,28 @@ def filter_blocklisted(
     """
     spark = docs.sparkSession
     rules = spark.createDataFrame(
-        [(r,) for r in sorted(set(blocklist))], "suffix string"
-    )
+        [(r,) for r in sorted(set(blocklist))],
+        "suffix string",
+    ).withColumn("hit", F.lit(True))
     host = url_host(F.col(url_col))
     base = docs.withColumn("host", host).withColumn(
         "reg_domain", registrable_domain(F.col("host"))
     )
+    # carry every output column THROUGH the suffix explode, left-join
+    # the broadcast rules on the suffix, and fold back with one
+    # map-side-combined groupBy(max(hit)) — no join back to the base
+    # table (that join-back is a corpus x corpus SortMergeJoin; this
+    # shape's only wide op is one shuffle of the ~6x narrow suffix
+    # stream). Non-matching docs survive because the rules join is a
+    # LEFT join before the fold.
+    carried = [c for c in base.columns]
     sufs = base.select(
-        F.col("doc_id"), F.explode(host_suffixes(F.col("host"))).alias("suffix")
+        *carried, F.explode(host_suffixes(F.col("host"))).alias("suffix")
     )
-    hits = (
-        sufs.join(F.broadcast(rules), "suffix")
-        .select("doc_id")
-        .distinct()
-        .withColumn("blocked", F.lit(True))
-    )
-    return base.join(hits, "doc_id", "left").withColumn(
-        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
+    return (
+        sufs.join(F.broadcast(rules), "suffix", "left")
+        .groupBy(*carried)
+        .agg(
+            F.coalesce(F.max("hit"), F.lit(False)).alias("blocked")
+        )
     )
