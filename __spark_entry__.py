@@ -1725,6 +1725,21 @@ def q_corpus_stats_per_source(spark, sf_dir):
     )
 
 
+def q_negative_pairs(spark, sf_dir):
+    """Deterministic contrastive negative sampling over the embeddings
+    table: md5-addressed candidates (zero RNG — identical pair sets
+    across runs/retries/engines), one uniform equijoin on the addressed
+    id, rejection-without-resampling for self/same-label collisions.
+    The oracle computes the identical md5 addresses in DuckDB."""
+    from featuregenerator_spark.operators.sampling import negative_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    ).repartition(par, "vec_id")
+    return negative_pairs(emb, k=4)
+
+
 def q_psi_drift_cat(spark, sf_dir):
     """Categorical-distribution PSI: language-mix drift between two
     declarative document windows. Categories are their own bins, the
@@ -4326,10 +4341,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5 session 2: categorical-distribution PSI; displaces
         # backfill_purchase_auto (r4-green, plans/skew.py unchanged)
         "psi_drift_cat": q_psi_drift_cat,
+        # new in r5 session 2: deterministic negative sampling; displaces
+        # dedup_cc_cosine (r4-green, dedup_cluster.py unchanged)
+        "negative_pairs": q_negative_pairs,
         "config_compiled_curation": q_config_compiled_curation,
         "config_compiled_dedup": q_config_compiled_dedup,
         "quality_model_score": q_quality_model_score,
-        "dedup_cc_cosine": q_dedup_cc_cosine,
         "streaming_snapshot_parity": q_streaming_snapshot_parity,
         # --- tail: displaced r5 (r4-green, code paths unchanged this round) ---
         "streaming_window_counts": q_streaming_window_counts,
@@ -4342,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher_rules": q_quality_gopher_rules,
         "asof_snapshot_auto": q_asof_snapshot_auto,
         "backfill_purchase_auto": q_backfill_purchase_auto,
+        "dedup_cc_cosine": q_dedup_cc_cosine,
         "pii_scrub": q_pii_scrub,
         "token_count_regex": q_token_count_regex,
         "chunk_pack_documents": q_chunk_pack_documents,
@@ -4559,6 +4577,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN b USING (doc_id)""",
         "bpe_train": _build_bpe_oracle(3),
         "bpe_token_count": _build_bpe_oracle(3, final=_BPE_COUNT_FINAL),
+        "negative_pairs": """
+            WITH n AS (SELECT count(*) AS n FROM embeddings),
+            cand AS (
+              SELECT vec_id, label, j,
+                     CAST(('0x' || substr(md5('neg:' || vec_id || ':'
+                                              || j), 1, 8)) AS BIGINT)
+                     % n AS neg_id
+              FROM embeddings, n, (SELECT unnest([1, 2, 3, 4]) AS j))
+            SELECT c.vec_id, c.j, c.neg_id
+            FROM cand c JOIN embeddings e ON c.neg_id = e.vec_id
+            WHERE c.neg_id <> c.vec_id AND e.label <> c.label""",
         "psi_drift_cat": """
             WITH ref AS (SELECT lang FROM documents
                          WHERE doc_id % 3 <> 0),

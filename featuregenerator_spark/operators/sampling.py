@@ -216,3 +216,70 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+_NEG_SALT = "neg:"
+
+
+def negative_pairs(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each anchor row, k candidate negatives are addressed by
+    ``md5(salt || anchor_id || ':' || j) mod N`` over the dense id space
+    — zero RNG, so the pair set is identical across runs, retries, and
+    engines (the same resumable-sampling contract as the mixture/split
+    draws above). Candidates that land on the anchor itself or share
+    its label are DROPPED, not resampled (rejection without resampling:
+    each anchor yields <= k negatives; with L uniform labels the
+    expected loss is ~1/L per candidate — a documented, deterministic
+    thinning, preferable at scale to a variable-length probe chain).
+
+    Ids must be dense 0..N-1 (the driver embeddings table's shape;
+    rank first otherwise). Plan shape: candidates explode k-wide
+    (narrow), then ONE equijoin on the addressed id against the
+    corpus — hash-partitioned, no skew (md5 addresses are uniform),
+    no corpus x corpus pairing.
+    """
+    n_row = emb.agg(F.count(F.lit(1)).alias("n"))
+    anchors = emb.select(
+        F.col(id_col), F.col(label_col)
+    ).crossJoin(F.broadcast(n_row))
+    cand = anchors.select(
+        id_col,
+        label_col,
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+        F.col("n"),
+    )
+    draw_hex = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.lit(_NEG_SALT),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ),
+        1,
+        8,
+    )
+    cand = cand.withColumn(
+        "neg_id", F.conv(draw_hex, 16, 10).cast("long") % F.col("n")
+    )
+    neg = emb.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    return (
+        cand.join(neg, "neg_id")
+        .filter(
+            (F.col("neg_id") != F.col(id_col))
+            & (F.col("neg_label") != F.col(label_col))
+        )
+        .select(id_col, "j", "neg_id")
+    )

@@ -158,3 +158,46 @@ def test_decontaminate_planted_overlap(spark):
     assert got[1]["contaminated"] == 0 and got[1]["n_hit_windows"] == 0
     assert got[3]["contaminated"] == 0
     assert got[3]["first_hit_start"] is None
+
+
+class TestNegativePairs:
+    def _emb(self, spark, n, labels=4):
+        return spark.createDataFrame(
+            [(i, i % labels) for i in range(n)], "vec_id long, label int"
+        )
+
+    def test_deterministic_across_partitioning(self, spark):
+        from featuregenerator_spark.operators.sampling import negative_pairs
+
+        df = self._emb(spark, 60)
+        a = sorted(map(tuple, negative_pairs(df.repartition(7), k=4).collect()))
+        b = sorted(map(tuple, negative_pairs(df.coalesce(1), k=4).collect()))
+        assert a == b and len(a) > 0
+
+    def test_no_self_or_same_label(self, spark):
+        from featuregenerator_spark.operators.sampling import negative_pairs
+
+        df = self._emb(spark, 50)
+        rows = negative_pairs(df, k=4).collect()
+        lab = {i: i % 4 for i in range(50)}
+        for r in rows:
+            assert r["neg_id"] != r["vec_id"]
+            assert lab[r["neg_id"]] != lab[r["vec_id"]]
+
+    def test_at_most_k_and_addressing_formula(self, spark):
+        import hashlib
+
+        from featuregenerator_spark.operators.sampling import negative_pairs
+
+        n, k = 40, 3
+        df = self._emb(spark, n)
+        rows = negative_pairs(df, k=k).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["vec_id"], []).append((r["j"], r["neg_id"]))
+        assert max(len(v) for v in per.values()) <= k
+        # spot-check the address math against hashlib
+        for vid, pairs in list(per.items())[:5]:
+            for j, neg in pairs:
+                h = hashlib.md5(f"neg:{vid}:{j}".encode()).hexdigest()[:8]
+                assert neg == int(h, 16) % n
