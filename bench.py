@@ -482,6 +482,7 @@ def main() -> None:
                 "psi_drift",
                 "psi_drift_cat",
                 "bpe_token_count",
+                "negative_pairs",
             ),
         )
 
